@@ -1,0 +1,498 @@
+"""Rule compiler: reference rule specs → vectorized Column expression trees.
+
+The reference validates one JSON event at a time with a tree-walking interpreter
+(/root/reference/validator_src/helpers/validationHelpers.js:130-164). Here the rule
+spec is compiled ONCE on the driver into a single ``pyspark.sql.Column`` producing
+``array<struct<field,error_type,expected,actual>>`` per row; Catalyst folds the
+constants and the whole validation pass runs as one whole-stage-codegen projection
+over the table — no per-row Python anywhere.
+
+Two field-access models share the same compiler:
+
+* :class:`TypedAccessor` — events live in ordinary typed (nested) columns, e.g. the
+  interleaved-docs table ``(doc_id, spans: array<struct<...>>)``. JS ``typeof`` is
+  known statically from the Spark schema; a NULL field is treated as *absent*
+  (typed rows cannot distinguish missing-vs-null — documented divergence).
+* :class:`VariantAccessor` — events live in a JSON string column parsed with
+  ``parse_json`` into a VARIANT. Full JS fidelity: missing key (SQL NULL variant)
+  vs JSON null (``schema_of_variant == 'VOID'`` → ``typeof`` 'object') vs value
+  types, exactly matching ``typeof null === 'object'`` (validationHelpers.js:7).
+
+Semantics pinned against :mod:`events_validator_spark.js_oracle` by
+tests/test_validation_*.py (SURVEY.md §2.2 quirk list V1–V12).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Union
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+from events_validator_spark.functions.js_compat import (
+    js_regex_to_java,
+    js_to_string,
+    py_js_to_string,
+    static_js_actual,
+    static_js_typeof,
+)
+
+VIOLATION_STRUCT_DDL = "struct<field:string,error_type:string,expected:string,actual:string>"
+VIOLATION_ARRAY_DDL = f"array<{VIOLATION_STRUCT_DDL}>"
+
+def _null_str() -> Column:
+    return F.lit(None).cast("string")
+
+
+def _empty() -> Column:
+    return F.array().cast(VIOLATION_ARRAY_DDL)
+
+
+def _one(field: Column, error_type: str, expected: Union[Column, str, None],
+         actual: Union[Column, str, None]) -> Column:
+    """A 1-element violation array."""
+    def c(x):
+        if x is None:
+            return _null_str()
+        return F.lit(x) if isinstance(x, str) else x
+    return F.array(F.struct(
+        field.alias("field"),
+        F.lit(error_type).alias("error_type"),
+        c(expected).cast("string").alias("expected"),
+        c(actual).cast("string").alias("actual"),
+    ))
+
+
+def _gate(cond: Column, arr: Column) -> Column:
+    return F.when(cond, arr).otherwise(_empty())
+
+
+def _concat(parts: list[Column]) -> Column:
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        return _empty()
+    if len(parts) == 1:
+        return parts[0]
+    return F.concat(*parts)
+
+
+def _is_optional(rule: dict) -> bool:
+    # optional:true OR required:false (validationHelpers.js:12,140)
+    return rule.get("optional") is True or rule.get("required") is False
+
+
+# ---------------------------------------------------------------------------
+# Field value abstraction
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FieldView:
+    """Everything a check needs to know about one event field, as Columns."""
+    present: Column          # JS hasOwnProperty
+    typeof: Column           # plain JS typeof (arrays → 'object', null → 'object')
+    actual: Column           # array-aware: Array.isArray ? 'array' : typeof
+    is_null: Column          # value is JSON/typed null (only meaningful if present)
+    as_string: Column        # JS v?.toString() (NULL for null)
+    js_length: Column        # v.length — NULL when undefined (numbers, objects)
+
+
+def _absent_view() -> FieldView:
+    return FieldView(
+        F.lit(False), F.lit("undefined"), F.lit("undefined"), F.lit(False),
+        _null_str(), F.lit(None).cast("int"))
+
+
+class Accessor:
+    """Resolves rule keys to :class:`FieldView`; supports nested recursion."""
+
+    def field(self, key: str) -> FieldView:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def nested_object(self, key: str) -> "Accessor":
+        raise NotImplementedError
+
+    def array_elements(self, key: str) -> tuple[Optional[Column],
+                                                Optional[Callable[[Column], "Accessor"]]]:
+        """(array column, element→Accessor factory); (None, None) if statically
+        not an array. The factory applies the JS scalar wrap (js:41-42) itself."""
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# Typed (static-schema) accessor
+# ---------------------------------------------------------------------------
+
+class TypedAccessor(Accessor):
+    """Fields are ordinary typed columns; NULL ⇒ absent (documented mapping)."""
+
+    def __init__(self, col: Optional[Column], dtype: T.DataType,
+                 root_df: DataFrame | None = None):
+        self._col = col            # None ⇒ root: fields are top-level df columns
+        self._dtype = dtype
+        self._df = root_df
+
+    def _get(self, key: str) -> tuple[Optional[Column], Optional[T.DataType]]:
+        if not isinstance(self._dtype, T.StructType) or key not in self._dtype.fieldNames():
+            return None, None
+        ft = self._dtype[key].dataType
+        if self._col is None:
+            return self._df[key], ft
+        return self._col[key], ft
+
+    def field(self, key: str) -> FieldView:
+        col, dtype = self._get(key)
+        if col is None:  # statically absent from the Spark schema
+            return _absent_view()
+        return _typed_view(col, dtype)
+
+    def nested_object(self, key: str) -> "Accessor":
+        col, dtype = self._get(key)
+        if col is None or not isinstance(dtype, T.StructType):
+            return _ABSENT_ACCESSOR
+        return TypedAccessor(col, dtype)
+
+    def array_elements(self, key: str):
+        col, dtype = self._get(key)
+        if col is None or not isinstance(dtype, T.ArrayType):
+            return None, None
+        elem_t = dtype.elementType
+        if isinstance(elem_t, T.StructType):
+            return col, lambda elem: TypedAccessor(elem, elem_t)
+        # scalar elements are wrapped {'': item} (js:41-42): only key '' resolves
+        return col, lambda elem: _TypedScalarWrap(elem, elem_t)
+
+
+def _typed_view(col: Column, dtype: T.DataType) -> FieldView:
+    if isinstance(dtype, T.StringType):
+        length = F.length(col)
+    elif isinstance(dtype, T.ArrayType):
+        length = F.size(col)
+    else:
+        length = F.lit(None).cast("int")
+    return FieldView(
+        present=col.isNotNull(),
+        typeof=F.lit(static_js_typeof(dtype)),
+        actual=F.lit(static_js_actual(dtype)),
+        is_null=F.lit(False),
+        as_string=js_to_string(col, dtype),
+        js_length=length,
+    )
+
+
+class _AbsentAccessor(Accessor):
+    """Every key is statically absent (recursion into a non-struct)."""
+
+    def field(self, key: str) -> FieldView:
+        return _absent_view()
+
+    def nested_object(self, key: str) -> "Accessor":
+        return self
+
+    def array_elements(self, key: str):
+        return None, None
+
+
+_ABSENT_ACCESSOR = _AbsentAccessor()
+
+
+class _TypedScalarWrap(Accessor):
+    """The JS ``{'': item}`` wrapper: only the key ``''`` resolves to the element."""
+
+    def __init__(self, elem: Column, elem_t: T.DataType):
+        self._elem = elem
+        self._elem_t = elem_t
+
+    def field(self, key: str) -> FieldView:
+        if key == "":
+            return _typed_view(self._elem, self._elem_t)
+        return _absent_view()
+
+    def nested_object(self, key: str) -> Accessor:
+        return _ABSENT_ACCESSOR
+
+    def array_elements(self, key: str):
+        return None, None
+
+
+# ---------------------------------------------------------------------------
+# Variant (JSON) accessor — full JS fidelity
+# ---------------------------------------------------------------------------
+
+_NUMBER_TYPES_RE = r"^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)"
+
+
+def _variant_typeof(v: Column, array_aware: bool) -> Column:
+    sv = F.schema_of_variant(v)
+    arr_label = "array" if array_aware else "object"
+    return (
+        F.when(v.isNull(), "undefined")
+        .when(sv == "VOID", "object")          # typeof null === 'object'
+        .when(sv == "STRING", "string")
+        .when(sv == "BOOLEAN", "boolean")
+        .when(sv.rlike(_NUMBER_TYPES_RE), "number")
+        .when(sv.startswith("ARRAY"), arr_label)
+        .otherwise("object")
+    )
+
+
+def _variant_to_string(v: Column, depth: int = 3) -> Column:
+    """JS ``v?.toString()`` over a VARIANT value."""
+    sv = F.schema_of_variant(v)
+    num = F.try_variant_get(v, "$", "double")
+    num_s = F.when((num == F.floor(num)) & (F.abs(num) < F.lit(1e16)),
+                   num.cast("long").cast("string")).otherwise(num.cast("string"))
+    if depth <= 0:
+        arr_s = F.lit("")
+    else:
+        arr_s = F.array_join(
+            F.transform(
+                F.try_variant_get(v, "$", "array<variant>"),
+                lambda e: F.coalesce(_variant_to_string(e, depth - 1), F.lit(""))),
+            ",")
+    return (
+        F.when(v.isNull() | (sv == "VOID"), _null_str())
+        .when(sv == "STRING", F.try_variant_get(v, "$", "string"))
+        .when(sv == "BOOLEAN", F.try_variant_get(v, "$", "string"))
+        .when(sv.rlike(_NUMBER_TYPES_RE), num_s)
+        .when(sv.startswith("ARRAY"), arr_s)
+        .otherwise(F.lit("[object Object]"))
+    )
+
+
+def _variant_view(v: Column) -> FieldView:
+    sv = F.schema_of_variant(v)
+    length = (
+        F.when(sv == "STRING", F.length(F.try_variant_get(v, "$", "string")))
+        .when(sv.startswith("ARRAY"),
+              F.size(F.try_variant_get(v, "$", "array<variant>")))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    return FieldView(
+        present=v.isNotNull(),   # JSON null → VOID variant (still present)
+        typeof=_variant_typeof(v, array_aware=False),
+        actual=_variant_typeof(v, array_aware=True),
+        is_null=sv == "VOID",
+        as_string=_variant_to_string(v),
+        js_length=length,
+    )
+
+
+class VariantAccessor(Accessor):
+    """Fields live under a VARIANT root (``parse_json`` of the event payload)."""
+
+    def __init__(self, root: Column):
+        self._root = root
+
+    def _get(self, key: str) -> Column:
+        esc = key.replace("\\", "\\\\").replace('"', '\\"')
+        return F.try_variant_get(self._root, f'$["{esc}"]', "variant")
+
+    def field(self, key: str) -> FieldView:
+        return _variant_view(self._get(key))
+
+    def nested_object(self, key: str) -> "Accessor":
+        return VariantAccessor(self._get(key))
+
+    def array_elements(self, key: str):
+        arr = F.try_variant_get(self._get(key), "$", "array<variant>")
+        return arr, _VariantElement
+
+
+class _VariantElement(Accessor):
+    """Accessor over one array element variant, with the JS scalar wrap built in.
+
+    JS (validationHelpers.js:41-44): an element that is an object recurses
+    directly; any other element (scalar, null, even nested ARRAYS are typeof
+    'object' in JS so arrays recurse directly too) is wrapped as ``{'': item}``.
+    In variant terms, ``variant_get(elem, '$["k"]')`` on a non-object is SQL NULL
+    → 'missing', which is exactly what the wrap produces for every key except
+    ``''``. Only the ``''`` key needs a dynamic branch between "the element
+    itself" (wrap) and "the object's actual '' member" (direct).
+    """
+
+    def __init__(self, elem: Column):
+        self._elem = elem
+        # wrapped when NOT (typeof === 'object' && item !== null):
+        # objects and arrays recurse directly; null/scalars are wrapped.
+        sv = F.schema_of_variant(elem)
+        self._direct = sv.startswith("OBJECT") | sv.startswith("ARRAY") | sv.startswith("STRUCT")
+
+    def _get(self, key: str) -> Column:
+        esc = key.replace("\\", "\\\\").replace('"', '\\"')
+        member = F.try_variant_get(self._elem, f'$["{esc}"]', "variant")
+        if key == "":
+            return F.when(self._direct, member).otherwise(self._elem)
+        return member
+
+    def field(self, key: str) -> FieldView:
+        return _variant_view(self._get(key))
+
+    def nested_object(self, key: str) -> Accessor:
+        return VariantAccessor(self._get(key))
+
+    def array_elements(self, key: str):
+        arr = F.try_variant_get(self._get(key), "$", "array<variant>")
+        return arr, _VariantElement
+
+
+# ---------------------------------------------------------------------------
+# The compiler
+# ---------------------------------------------------------------------------
+
+def compile_violations(rules: dict, accessor: Accessor,
+                       parent: Column | None = None) -> Column:
+    """Compile a reference rule spec into one ``array<violation>`` Column.
+
+    Mirrors checkWithSchema (validationHelpers.js:130-164): per schema key, in
+    spec order — missing gate, optional-empty skip, then independent
+    value/type/length/regex checks; nested recursion inside the type check.
+    """
+    parts: list[Column] = []
+    for key, rule in rules.items():
+        if key == "version":  # js:134
+            continue
+        path = F.lit(key) if parent is None else F.concat(parent, F.lit("." + key))
+        fv = accessor.field(key)
+        optional = _is_optional(rule)
+
+        checks: list[Column] = []
+        if "value" in rule:
+            checks.append(_check_value(rule, fv, path))
+        if "type" in rule:
+            checks.append(_check_type(rule, fv, path, key, accessor, optional))
+        if "length" in rule:
+            checks.append(_check_length(rule, fv, path))
+        if "regex" in rule:
+            checks.append(_check_regex(rule, fv, path))
+        if "enum" in rule:  # engine extension (north rule): enum membership
+            checks.append(_check_enum(rule, fv, path))
+        body = _concat(checks)
+
+        # optional + (null | trimmed-empty string) → skip all checks (js:148-153)
+        if optional:
+            skip = fv.is_null | ((fv.typeof == "string") &
+                                 (F.trim(F.coalesce(fv.as_string, F.lit(""))) == ""))
+            per_key = _gate(fv.present & ~skip, body)
+        else:
+            missing = _one(path, "missing", "field present", "field missing")
+            per_key = F.when(~fv.present, missing).otherwise(body)
+        parts.append(per_key)
+    return _concat(parts)
+
+
+def _check_type(rule: dict, fv: FieldView, path: Column, key: str,
+                accessor: Accessor, optional: bool) -> Column:
+    expected = rule["type"]
+    if expected == "string":  # js:10-31 — actual is PLAIN typeof here (js:18)
+        wrong = _gate(fv.typeof != "string",
+                      _one(path, "type", "string", fv.typeof))
+        if optional:
+            # js:14 — optional + null → no row even from the type check
+            wrong = _gate(~fv.is_null, wrong)
+            empty = _empty()
+        else:
+            empty = _gate(
+                (fv.typeof == "string") &
+                (F.trim(F.coalesce(fv.as_string, F.lit(""))) == ""),
+                _one(path, "type", "non-empty string", "empty string"))
+        return _concat([wrong, empty])
+
+    if expected == "array":  # js:33-51
+        not_array = _one(path, "type", "array", fv.actual)
+        nested = rule.get("nestedSchema")
+        if nested:
+            arr, factory = accessor.array_elements(key)
+            if arr is not None:
+                def per_elem(elem: Column, i: Column) -> Column:
+                    ipath = F.concat(path, F.lit("["), i.cast("string"), F.lit("]"))
+                    return compile_violations(nested, factory(elem), parent=ipath)
+                nested_v = F.flatten(F.transform(arr, per_elem))
+                return F.when(fv.actual != "array", not_array).otherwise(
+                    F.coalesce(nested_v, _empty()))
+        return _gate(fv.actual != "array", not_array)
+
+    if expected == "object":  # js:53-67
+        bad = _gate(fv.is_null | (fv.actual != "object"),
+                    _one(path, "type", "object", fv.actual))
+        nested = rule.get("nestedSchema")
+        if not nested:
+            return bad
+        sub = compile_violations(nested, accessor.nested_object(key), parent=path)
+        ok = fv.present & ~fv.is_null & (fv.actual == "object")
+        return F.when(ok, sub).otherwise(bad)
+
+    # generic (number / boolean / anything): array-aware actual (js:69-73)
+    return _gate(fv.actual != expected,
+                 _one(path, "type", py_js_to_string(expected), fv.actual))
+
+
+def _check_value(rule: dict, fv: FieldView, path: Column) -> Column:
+    expected_s = py_js_to_string(rule["value"])  # driver-side toString
+    if expected_s is None:
+        neq = fv.as_string.isNotNull()  # undefined !== undefined is false
+    else:
+        neq = fv.as_string.isNull() | (fv.as_string != F.lit(expected_s))
+    return _gate(neq, _one(path, "value", expected_s, fv.as_string))
+
+
+def _check_length(rule: dict, fv: FieldView, path: Column) -> Column:
+    expected = int(rule["length"])  # parseInt (js:77)
+    # (v ?? []).length: null → 0 via [] coercion; non-string/array → undefined
+    actual = F.when(fv.is_null, F.lit(0)).otherwise(fv.js_length)
+    neq = actual.isNull() | (actual != F.lit(expected))
+    return _gate(neq, _one(path, "length", str(expected), actual.cast("string")))
+
+
+def _check_enum(rule: dict, fv: FieldView, path: Column) -> Column:
+    """Engine extension: value must be one of the allowed literals (by JS
+    toString equality, consistent with the reference's value check)."""
+    allowed = [py_js_to_string(e) for e in rule["enum"]]
+    expected = ",".join("" if a is None else a for a in allowed)
+    ok = fv.as_string.isin([a for a in allowed if a is not None])
+    if any(a is None for a in allowed):
+        ok = ok | fv.as_string.isNull()
+    return _gate(~F.coalesce(ok, F.lit(False)),
+                 _one(path, "enum", expected, fv.as_string))
+
+
+def _check_regex(rule: dict, fv: FieldView, path: Column) -> Column:
+    pattern = rule["regex"]
+    java_pat = js_regex_to_java(pattern)
+    empty = (fv.typeof == "string") & (F.trim(F.coalesce(fv.as_string, F.lit(""))) == "")
+    is_empty_value = empty | fv.is_null
+    coerced = F.coalesce(fv.as_string, F.lit("undefined"))  # String(undefined)
+    no_match = ~coerced.rlike(java_pat)
+    return (
+        F.when(is_empty_value, _one(path, "regex", pattern, "empty_value"))
+        .otherwise(_gate(no_match, _one(path, "regex", pattern, fv.as_string)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public entry points
+# ---------------------------------------------------------------------------
+
+def validate_typed(df: DataFrame, rules: dict,
+                   out_col: str = "violations") -> DataFrame:
+    """Validate typed (nested) columns of ``df`` against ``rules``.
+
+    One projection; no shuffle; whole-stage codegen end to end.
+    """
+    acc = TypedAccessor(None, df.schema, root_df=df)
+    return df.withColumn(out_col, compile_violations(rules, acc))
+
+
+def validate_json(df: DataFrame, rules: dict, json_col: str,
+                  out_col: str = "violations") -> DataFrame:
+    """Validate a JSON-string column with full JS fidelity via VARIANT."""
+    v = F.parse_json(F.col(json_col))
+    return df.withColumn(out_col, compile_violations(rules, VariantAccessor(v)))
+
+
+def explode_violations(df: DataFrame, id_cols: list[str],
+                       violations_col: str = "violations") -> DataFrame:
+    """violations array → one row per violation (the reference's log-row shape)."""
+    v = F.explode(F.col(violations_col)).alias("v")
+    return (df.select(*id_cols, v)
+            .select(*id_cols, "v.field", "v.error_type", "v.expected", "v.actual"))

@@ -1,0 +1,139 @@
+"""M1: the Spark rule compiler must match the pure-Python JS-semantics oracle
+row-for-row — on the VARIANT (JSON) path with full fidelity, and on the typed
+path under the documented NULL⇒absent mapping.
+"""
+
+import json
+import random
+
+import pytest
+
+from events_validator_spark.js_oracle import check_with_schema
+from events_validator_spark.operators.validation import validate_json, validate_typed
+from events_validator_spark.sources.synthetic import (
+    DOC_RULES, interleaved_docs, row_to_event,
+)
+
+RULES = {
+    "event_name": {"type": "string", "value": "purchase"},
+    "version": {"type": "number", "value": 1},
+    "currency": {"type": "string"},
+    "value": {"type": "number"},
+    "promo_code": {"type": "string", "optional": True},
+    "tracking_id": {"type": "string", "regex": "^trk_[0-9]{6}$"},
+    "tags": {"type": "array", "length": 3},
+    "flag": {"type": "boolean", "optional": True},
+    "kind": {"type": "string", "enum": ["a", "b"], "optional": True},
+    "items": {
+        "type": "array",
+        "nestedSchema": {
+            "item_id": {"type": "string"},
+            "price": {"type": "number"},
+            "in_stock": {"type": "boolean"},
+        },
+    },
+    "user_info": {"type": "object", "nestedSchema": {"user_id": {"type": "string"}}},
+}
+
+QUIRK_EVENTS = [
+    {"event_name": "purchase", "currency": "USD", "value": 9.99,
+     "tracking_id": "trk_123456", "tags": ["a", "b", "c"],
+     "items": [{"item_id": "i1", "price": 1.5, "in_stock": True}],
+     "user_info": {"user_id": "u1"}},
+    {},                                                    # everything missing
+    {"event_name": None, "currency": None, "value": None, "tracking_id": None,
+     "tags": None, "items": None, "user_info": None},      # everything JSON-null
+    {"event_name": "purchase", "currency": "", "value": "9.99",
+     "tracking_id": "nope", "tags": ["a", "b"],
+     "items": ["scalar", {"item_id": 5, "price": "x", "in_stock": 0}, None],
+     "user_info": []},
+    {"event_name": 1, "currency": "   ", "value": True, "tracking_id": 123456,
+     "tags": "abc", "items": [[1, 2]], "user_info": {"user_id": ""}},
+    {"event_name": "purchase", "version": "anything", "currency": "EUR",
+     "value": 0, "tracking_id": "xx trk_000000 yy", "tags": ["x", "y", "z"],
+     "promo_code": "", "flag": None, "kind": "c",
+     "items": [], "user_info": {"user_id": "u", "extra": 1}},
+]
+
+
+def _rand_value(rng, depth=0):
+    choices = ["str", "int", "float", "bool", "null", "empty", "ws"]
+    if depth < 2:
+        choices += ["arr", "obj"]
+    c = rng.choice(choices)
+    if c == "str":
+        return rng.choice(["trk_000000", "abc", "purchase", "1", "a,b"])
+    if c == "int":
+        return rng.randint(-5, 5)
+    if c == "float":
+        return rng.choice([1.0, 9.99, -0.5, 0.0])
+    if c == "bool":
+        return rng.choice([True, False])
+    if c == "null":
+        return None
+    if c == "empty":
+        return ""
+    if c == "ws":
+        return "  "
+    if c == "arr":
+        return [_rand_value(rng, depth + 1) for _ in range(rng.randint(0, 4))]
+    return {k: _rand_value(rng, depth + 1)
+            for k in rng.sample(["item_id", "price", "in_stock", "user_id", "x"],
+                                rng.randint(0, 3))}
+
+
+def _rand_events(n, seed=42):
+    rng = random.Random(seed)
+    keys = list(RULES.keys()) + ["extra"]
+    out = []
+    for _ in range(n):
+        ev = {k: _rand_value(rng) for k in rng.sample(keys, rng.randint(0, len(keys)))}
+        out.append(ev)
+    return out
+
+
+def _spark_violations(spark, events, rules):
+    df = spark.createDataFrame([(i, json.dumps(e)) for i, e in enumerate(events)],
+                               ["i", "props"])
+    out = validate_json(df, rules, "props").select("i", "violations").collect()
+    return {r["i"]: [tuple(x) for x in r["violations"]] for r in out}
+
+
+@pytest.mark.parametrize("batch", ["quirks", "random"])
+def test_variant_path_matches_oracle(spark, batch):
+    events = QUIRK_EVENTS if batch == "quirks" else _rand_events(120)
+    got = _spark_violations(spark, events, RULES)
+    for i, ev in enumerate(events):
+        expected = check_with_schema(RULES, ev)
+        assert got[i] == expected, (
+            f"event #{i} mismatch\nevent:    {ev!r}\n"
+            f"spark:    {got[i]!r}\noracle:   {expected!r}")
+
+
+def test_typed_path_matches_oracle_on_interleaved_docs(spark):
+    docs = interleaved_docs(spark, 400)
+    rows = validate_typed(docs, DOC_RULES).collect()
+    n_violating = 0
+    for r in rows:
+        event = row_to_event(r)
+        event.pop("violations", None)
+        expected = check_with_schema(DOC_RULES, event)
+        got = [tuple(x) for x in r["violations"]]
+        assert got == expected, (
+            f"doc mismatch\ndoc:    {event!r}\nspark:  {got!r}\noracle: {expected!r}")
+        n_violating += bool(got)
+    # the generator must actually inject anomalies
+    assert n_violating > 0
+
+
+def test_violation_content_examples(spark):
+    events = [{"currency": "", "value": None,
+               "items": ["s"], "tracking_id": "bad"}]
+    rules = {"currency": {"type": "string"}, "value": {"type": "number"},
+             "tracking_id": {"regex": "^trk_"},
+             "items": {"type": "array", "nestedSchema": {"q": {"type": "number"}}}}
+    got = _spark_violations(spark, events, rules)[0]
+    assert ("currency", "type", "non-empty string", "empty string") in got
+    assert ("value", "type", "number", "object") in got
+    assert ("tracking_id", "regex", "^trk_", "bad") in got
+    assert ("items[0].q", "missing", "field present", "field missing") in got
