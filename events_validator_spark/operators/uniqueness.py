@@ -1,0 +1,57 @@
+"""Uniqueness constraint: duplicate-key detection with explicit skew defusal.
+
+The north rule mandates salted two-phase aggregation: a hot ``doc_id`` (the
+synthetic table puts ~5% of all rows on one key) would otherwise hash every
+duplicate into a single reducer. Phase 1 aggregates on (key, salt) — the hot
+key's rows spread over ``n_salts`` reducers — phase 2 merges the per-salt
+partial counts. For plain counts Spark's map-side partial aggregation already
+helps; the explicit salt also covers aggregates that are NOT algebraic
+(collect of examples, first-seen payloads) and makes the shuffle key
+cardinality explicit and tunable. AQE skew-join handling stays on as backstop
+(session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def duplicate_keys(df: DataFrame, keys: list[str],
+                   n_salts: int = 32) -> DataFrame:
+    """Keys appearing more than once → (keys..., dup_count).
+
+    Two-phase salted aggregation; deterministic salt (hash of all columns) so
+    reruns and resume produce identical plans and results.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                  F.lit(n_salts)).alias("__salt")
+    phase1 = (df.select(*keys, salt)
+              .groupBy(*keys, "__salt")
+              .agg(F.count(F.lit(1)).alias("__partial")))
+    return (phase1.groupBy(*keys)
+            .agg(F.sum("__partial").alias("dup_count"))
+            .where(F.col("dup_count") > 1))
+
+
+def duplicate_rows(df: DataFrame, keys: list[str],
+                   n_salts: int = 32) -> DataFrame:
+    """All rows whose key is duplicated, annotated with dup_count.
+
+    The dup-key set is typically tiny relative to the table → broadcast it
+    back instead of a full shuffle join of the fact table against itself.
+    """
+    dups = duplicate_keys(df, keys, n_salts)
+    return df.join(F.broadcast(dups), on=keys, how="inner")
+
+
+def uniqueness_violations(df: DataFrame, keys: list[str],
+                          n_salts: int = 32) -> DataFrame:
+    """Duplicate keys in the engine's violation-row shape (error_type='unique')."""
+    dups = duplicate_keys(df, keys, n_salts)
+    key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    return dups.select(
+        key_str.alias("field"),
+        F.lit("unique").alias("error_type"),
+        F.lit("1").alias("expected"),
+        F.col("dup_count").cast("string").alias("actual"),
+    )

@@ -1,0 +1,112 @@
+"""End-to-end validation run: violations + verdicts + per-partition metrics,
+with checkpoint/resume (SURVEY.md §7.1 M5, FIXTURES.md §4-5).
+
+The reference emits per-event verdicts over HTTP and fire-and-forgets log rows
+into BigQuery (/root/reference/validator_src/index.js:54-75,
+helpers/cloudHelpers.js:25-44). Here a run is a deterministic batch job over a
+partitioned table:
+
+  docs ──validate (1 projection)──► violations rows  ──append──► violations/
+                                  ► verdict rows     ──append──► verdicts/
+                                  ► metrics row/part ──append──► metrics/ + manifest
+
+Resume: partitions are processed in deterministic buckets; each completed
+bucket is recorded in a JSON manifest (the sandbox stand-in for Iceberg
+snapshot ids — the API carries a ``snapshot_id`` everywhere so an Iceberg
+catalog can be swapped in). A re-run with the same run_id skips completed
+buckets — no duplicate rows, verified by tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from events_validator_spark.operators.validation import validate_typed
+
+VERDICT_COLS = ["doc_id", "event_name", "passed", "n_violations",
+                "partition_id", "snapshot_id"]
+
+
+def _bucket(col, n):  # deterministic partition bucketing of doc ids
+    return F.pmod(F.xxhash64(col), F.lit(n))
+
+
+def run_validation(docs: DataFrame, rules: dict, out_dir: str,
+                   event_name: str = "interleaved_doc",
+                   n_buckets: int = 8, run_id: str | None = None,
+                   snapshot_id: str | None = None) -> dict:
+    """Validate ``docs`` bucket by bucket with manifest-based resume.
+
+    Returns the manifest dict (run_id, per-bucket metrics, completed buckets).
+    """
+    spark = docs.sparkSession
+    run_id = run_id or uuid.uuid4().hex[:12]
+    snapshot_id = snapshot_id or "snap-" + run_id
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, f"manifest_{run_id}.json")
+    manifest = {"run_id": run_id, "snapshot_id": snapshot_id,
+                "n_buckets": n_buckets, "completed": [], "metrics": []}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+
+    validated = validate_typed(docs, rules).withColumn(
+        "__bucket", _bucket(F.col("doc_id"), n_buckets))
+
+    for b in range(n_buckets):
+        if b in manifest["completed"]:
+            continue
+        t0 = time.monotonic()
+        part = validated.where(F.col("__bucket") == b).drop("__bucket")
+        part = part.cache()
+        verdicts = part.select(
+            "doc_id",
+            F.lit(event_name).alias("event_name"),
+            (F.size("violations") == 0).alias("passed"),
+            F.size("violations").alias("n_violations"),
+            F.lit(str(b)).alias("partition_id"),
+            F.lit(snapshot_id).alias("snapshot_id"),
+        )
+        violations = (
+            part.select("doc_id", F.explode("violations").alias("v"))
+            .select(
+                F.lit(event_name).alias("event_name"),
+                F.col("doc_id").alias("event_id"),
+                "v.field", "v.error_type", "v.expected", "v.actual",
+                F.current_timestamp().alias("timestamp"),
+                F.lit("error").alias("status"),
+                F.current_date().alias("date_utc"),
+                F.lit(str(b)).alias("partition_id"),
+                F.lit(snapshot_id).alias("snapshot_id"),
+            ))
+        (violations.write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "violations", f"bucket={b}")))
+        (verdicts.write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "verdicts", f"bucket={b}")))
+        agg = verdicts.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_violations").alias("violations"),
+            F.sum(F.col("passed").cast("long")).alias("passed")).collect()[0]
+        part.unpersist()
+        manifest["metrics"].append({
+            "partition_id": str(b), "rows": agg["rows"],
+            "violations": int(agg["violations"] or 0),
+            "passed": int(agg["passed"] or 0),
+            "wall_ms": int((time.monotonic() - t0) * 1000),
+            "snapshot_id": snapshot_id, "run_id": run_id,
+        })
+        manifest["completed"].append(b)
+        with open(manifest_path, "w") as f:  # atomic-enough for local FS
+            json.dump(manifest, f)
+    return manifest
+
+
+def read_outputs(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
+    violations = spark.read.parquet(os.path.join(out_dir, "violations"))
+    verdicts = spark.read.parquet(os.path.join(out_dir, "verdicts"))
+    return violations, verdicts

@@ -1,0 +1,50 @@
+"""Structured Streaming wrapper: the same compiled validation pass, streaming.
+
+The reference is a request/response micro-batcher of size 1
+(/root/reference/validator_src/index.js:18). Here the identical Column
+expression tree runs inside a streaming query — either as a direct
+transformation (stateless, append-mode) or via ``foreachBatch`` when the sink
+needs batch-style writes (parquet buckets, merge semantics). Watermarked
+windowed verdict aggregation covers late events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from events_validator_spark.operators.validation import compile_violations, TypedAccessor
+
+
+def validate_stream(stream_df: DataFrame, rules: dict) -> DataFrame:
+    """Attach the compiled violations column to a streaming DataFrame —
+    stateless, so it composes with any downstream sink/mode."""
+    acc = TypedAccessor(None, stream_df.schema, root_df=stream_df)
+    return stream_df.withColumn("violations", compile_violations(rules, acc))
+
+
+def streaming_verdict_counts(validated: DataFrame, ts_col: str = "ts",
+                             window: str = "1 minute",
+                             watermark: str = "5 minutes") -> DataFrame:
+    """Windowed pass/fail counts with a watermark for late data."""
+    return (validated
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("win"))
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum((F.size("violations") > 0).cast("long")).alias("failed")))
+
+
+def run_stream_to_memory(spark: SparkSession, source_dir: str, schema,
+                         rules: dict, query_name: str = "verdicts_stream",
+                         ts_col: str | None = None) -> DataFrame:
+    """Drive a parquet-directory stream through validation into an in-memory
+    sink and run it to completion (sandbox harness; a real deployment points
+    readStream at Kafka/Iceberg and writeStream at the violations table)."""
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    validated = validate_stream(src, rules)
+    out = validated.select(
+        "*", (F.size("violations") == 0).alias("passed"))
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,78 @@
+"""Drift operators: t-digest quantiles, PSI, KS — against numpy ground truth."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from events_validator_spark.functions.tdigest import TDigest
+from events_validator_spark.operators import drift, stats
+
+
+def test_tdigest_quantiles_accurate():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(50_000)
+    d = TDigest.from_values(x, delta=100)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        assert d.quantile(q) == pytest.approx(np.quantile(x, q), abs=0.02)
+
+
+def test_tdigest_merge_matches_whole():
+    rng = np.random.default_rng(1)
+    a, b = rng.standard_normal(20_000), 2 + rng.standard_normal(20_000)
+    merged = TDigest.from_values(a).merge(TDigest.from_values(b))
+    whole = np.concatenate([a, b])
+    for q in (0.1, 0.5, 0.9):
+        assert merged.quantile(q) == pytest.approx(np.quantile(whole, q), abs=0.05)
+    rt = TDigest.deserialize(merged.serialize())
+    assert rt.quantile(0.5) == merged.quantile(0.5)
+
+
+def test_quantile_profile_udaf(spark):
+    rng = np.random.default_rng(2)
+    rows = ([("a", float(v)) for v in rng.standard_normal(4000)] +
+            [("b", float(v)) for v in 5 + rng.standard_normal(4000)])
+    df = spark.createDataFrame(rows, ["grp", "x"])
+    out = {r["grp"]: r["quantiles"]
+           for r in drift.quantile_profile(df, "x", "grp").collect()}
+    assert out["a"][2] == pytest.approx(0.0, abs=0.1)   # median of N(0,1)
+    assert out["b"][2] == pytest.approx(5.0, abs=0.1)   # median of N(5,1)
+
+
+def test_psi_same_vs_shifted(spark):
+    rng = np.random.default_rng(3)
+    same = [(False, float(v)) for v in rng.standard_normal(5000)] + \
+           [(True, float(v)) for v in rng.standard_normal(5000)]
+    df = spark.createDataFrame(same, ["cur", "x"])
+    psi0 = drift.psi_two_cohorts(df, "x", F.col("cur"), nbins=10).collect()[0]["psi"]
+    assert psi0 < 0.05
+
+    shifted = [(False, float(v)) for v in rng.standard_normal(5000)] + \
+              [(True, float(v)) for v in 1.5 + rng.standard_normal(5000)]
+    df2 = spark.createDataFrame(shifted, ["cur", "x"])
+    psi1 = drift.psi_two_cohorts(df2, "x", F.col("cur"), nbins=10).collect()[0]["psi"]
+    assert psi1 > 0.25
+    v = drift.drift_violations(
+        drift.psi_two_cohorts(df2, "x", F.col("cur"), nbins=10), "x").collect()
+    assert len(v) == 1 and v[0]["error_type"] == "drift"
+
+
+def test_ks_exact_and_digest(spark):
+    rng = np.random.default_rng(4)
+    a = rng.standard_normal(3000)
+    b = 1.0 + rng.standard_normal(3000)
+    rows = [(True, float(v)) for v in a] + [(False, float(v)) for v in b]
+    df = spark.createDataFrame(rows, ["cur", "x"])
+    ks = drift.ks_two_sample(df, "x", F.col("cur")).collect()[0]["ks"]
+
+    # exact two-sample KS via numpy for ground truth
+    def np_ks(x, y):
+        allv = np.sort(np.concatenate([x, y]))
+        fa = np.searchsorted(np.sort(x), allv, side="right") / len(x)
+        fb = np.searchsorted(np.sort(y), allv, side="right") / len(y)
+        return np.abs(fa - fb).max()
+    assert ks == pytest.approx(np_ks(a, b), abs=1e-6)
+
+    df2 = spark.createDataFrame(
+        [("a", float(v)) for v in a] + [("b", float(v)) for v in b], ["g", "x"])
+    kd = drift.ks_from_digests(df2, "x", "g").collect()[0]
+    assert kd["ks"] == pytest.approx(np_ks(a, b), abs=0.05)

@@ -1,0 +1,131 @@
+"""Operator-level correctness tests on small, hand-checkable inputs."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from events_validator_spark.operators import dedup, referential, similarity, stats, text, uniqueness
+from events_validator_spark.sources.synthetic import interleaved_docs, media_catalog
+
+
+def test_profile_single_pass_values(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (3, 40.0)], ["k", "v"])
+    p = {r["column"]: r for r in
+         stats.profile(df, approx=False).collect()}
+    assert p["k"]["count"] == 4 and p["k"]["nulls"] == 0
+    assert p["k"]["distinct"] == 3
+    assert p["v"]["count"] == 3 and p["v"]["nulls"] == 1
+    assert p["v"]["min"] == "10.0" and p["v"]["max"] == "40.0"
+    assert p["v"]["quantiles"][1] == pytest.approx(30.0)
+
+
+def test_histogram_buckets(spark):
+    df = spark.range(100).select(F.col("id").cast("double").alias("x"))
+    h = {r["bucket"]: r["cnt"] for r in
+         stats.histogram(df, "x", nbins=10, lo=0.0, hi=100.0).collect()}
+    assert h == {i: 10 for i in range(10)}
+
+
+def test_duplicate_keys_salted(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("c",), ("c",)], ["k"])
+    got = {(r["k"], r["dup_count"])
+           for r in uniqueness.duplicate_keys(df, ["k"], n_salts=4).collect()}
+    assert got == {("a", 3), ("c", 2)}
+    rows = uniqueness.duplicate_rows(df, ["k"], n_salts=4).collect()
+    assert len(rows) == 5
+
+
+def test_dangling_refs_and_span_violations(spark):
+    docs = interleaved_docs(spark, 3000)
+    cat = media_catalog(spark, 3000 // 4)
+    viol = referential.referential_violations_spans(docs, cat)
+    rows = viol.collect()
+    assert len(rows) > 0  # the generator injects dangling refs
+    assert all(r["error_type"] == "referential" for r in rows)
+    assert all(r["field"].startswith("spans[") for r in rows)
+    # every reported media_ref is truly absent from the catalog
+    cat_refs = {r["media_ref"] for r in cat.collect()}
+    assert all(r["actual"] not in cat_refs for r in rows)
+
+
+def test_text_features(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog."), (2, ""), (3, "le la de et 123!!")],
+        ["doc_id", "text"])
+    q = {r["doc_id"]: r for r in text.quality_features(df).collect()}
+    assert q[1]["n_tokens"] == 5
+    assert q[2]["n_tokens"] == 0
+    assert q[3]["digit_ratio"] > 0 and q[3]["punct_ratio"] > 0
+    langs = {r["doc_id"]: r["lang_pred"] for r in text.lang_scores(df).collect()}
+    assert langs[1] == "en" and langs[3] == "fr" and langs[2] == "und"
+    fp = {r["doc_id"]: r["fp"] for r in text.fingerprint(df).collect()}
+    import hashlib
+    assert fp[1] == hashlib.md5(b"the cat and the dog.").hexdigest()
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "Hello   WORLD"), (3, "different")],
+        ["doc_id", "text"])
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(df).collect())
+    assert kept == [1, 3]  # 2 is a normalized duplicate of 1
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy")
+    other = "completely unrelated content about spark shuffles and joins " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"])
+    pairs = dedup.minhash_dedup(df, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    jac = pairs[0]["jaccard"]
+    assert 0.5 <= jac < 1.0
+
+
+def test_simhash_candidates(spark):
+    import random
+    rng = random.Random(7)
+    words = [f"tok{i}" for i in range(400)]
+    base = [rng.choice(words) for _ in range(120)]
+    near = list(base); near[50] = "CHANGED"          # measured hamming: 3
+    other = [rng.choice(words) for _ in range(120)]  # measured hamming: ~25
+    df = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(near)), (3, " ".join(other))],
+        ["doc_id", "text"])
+    got = dedup.simhash_dedup_candidates(df, n_tables=4, max_hamming=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+    assert got[0]["hamming"] <= 3
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((30, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = (corpus.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = similarity.brute_force_topk(corpus, queries, k=3).collect()
+    sims = (vecs @ vecs.T) / (
+        np.linalg.norm(vecs, axis=1)[:, None] * np.linalg.norm(vecs, axis=1)[None, :])
+    for qid in range(3):
+        order = [i for i in np.argsort(-sims[qid]) if i != qid][:3]
+        mine = [r["neighbor_id"] for r in sorted(
+            (g for g in got if g["query_id"] == qid), key=lambda r: r["rank"])]
+        assert mine == order
+
+
+def test_lsh_topk_runs_and_is_subset_quality(spark):
+    import numpy as np
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((60, 16)).astype("float32")
+    vecs[10] = vecs[3] + 0.01 * rng.standard_normal(16).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = (corpus.where(F.col("vec_id") == 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = similarity.lsh_topk(corpus, queries, k=3, dim=16, n_planes=6).collect()
+    # the nearly-identical vector shares every hyperplane side → must be found
+    assert got and got[0]["neighbor_id"] == 10

@@ -1,0 +1,86 @@
+"""Pipeline: verdicts/metrics shape, and kill-and-resume with no duplicates.
+Also exercises multimodal plumbing and the streaming wrapper."""
+
+import pyspark.sql.functions as F
+
+from events_validator_spark.operators import multimodal
+from events_validator_spark.plans import pipeline
+from events_validator_spark.sources.synthetic import DOC_RULES, interleaved_docs
+from events_validator_spark.streaming.stream import run_stream_to_memory
+
+
+def test_run_validation_and_resume(spark, tmp_path):
+    docs = interleaved_docs(spark, 1500)
+    out = str(tmp_path / "run1")
+
+    m1 = pipeline.run_validation(docs, DOC_RULES, out, n_buckets=4,
+                                 run_id="r1")
+    assert sorted(m1["completed"]) == [0, 1, 2, 3]
+    viol, verd = pipeline.read_outputs(spark, out)
+    total_docs = verd.count()
+    assert total_docs == 1500
+    n_viol = viol.count()
+    assert n_viol > 0
+    assert verd.where(~F.col("passed")).count() == \
+        verd.where(F.col("n_violations") > 0).count()
+    # metrics cover every bucket and add up
+    assert sum(m["rows"] for m in m1["metrics"]) == 1500
+    assert sum(m["violations"] for m in m1["metrics"]) == n_viol
+
+    # simulate a crash after bucket 1: pre-seed a manifest with 2 completed
+    out2 = str(tmp_path / "run2")
+    m2a = pipeline.run_validation(docs, DOC_RULES, out2, n_buckets=4,
+                                  run_id="r2")
+    import json, os
+    man_path = os.path.join(out2, "manifest_r2.json")
+    with open(man_path) as f:
+        man = json.load(f)
+    man["completed"] = man["completed"][:2]
+    man["metrics"] = man["metrics"][:2]
+    with open(man_path, "w") as f:
+        json.dump(man, f)
+    # resume: only buckets 2,3 rerun; outputs identical, no duplicates
+    m2b = pipeline.run_validation(docs, DOC_RULES, out2, n_buckets=4,
+                                  run_id="r2")
+    assert sorted(m2b["completed"]) == [0, 1, 2, 3]
+    viol2, verd2 = pipeline.read_outputs(spark, out2)
+    assert verd2.count() == 1500
+    assert viol2.count() == n_viol
+    assert verd2.select("doc_id").distinct().count() == \
+        verd.select("doc_id").distinct().count()
+
+
+def test_multimodal_plumbing(spark):
+    from events_validator_spark.sources.synthetic import media_catalog
+    cat = media_catalog(spark, 50)
+    with_payload = multimodal.attach_fake_media(cat)
+    meta = multimodal.extract_media_metadata(
+        with_payload, mime_col="mime").collect()
+    assert len(meta) == 50
+    assert all(m["n_bytes"] > 0 and len(m["sha256"]) == 64 for m in meta)
+
+    feats = multimodal.decode_and_featurize(
+        with_payload, mime_col="mime", feature_dim=8).collect()
+    assert len(feats) == 50
+    assert all(len(f["feature"]) == 8 for f in feats)
+    assert all(f["width"] % 16 == 0 for f in feats)
+    # determinism: same payload → same feature
+    again = multimodal.decode_and_featurize(
+        with_payload, mime_col="mime", feature_dim=8).collect()
+    assert {f["media_ref"]: list(f["feature"]) for f in feats} == \
+        {f["media_ref"]: list(f["feature"]) for f in again}
+
+
+def test_streaming_validation(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    docs = interleaved_docs(spark, 300)
+    docs.write.parquet(src)
+    out = run_stream_to_memory(spark, src, docs.schema, DOC_RULES,
+                               query_name="t_stream")
+    assert out.count() == 300
+    batch = (interleaved_docs(spark, 300)
+             .withColumn("passed_b", F.lit(None)))  # schema aside, compare counts
+    from events_validator_spark.operators.validation import validate_typed
+    expected_failed = (validate_typed(interleaved_docs(spark, 300), DOC_RULES)
+                       .where(F.size("violations") > 0).count())
+    assert out.where(~F.col("passed")).count() == expected_failed
