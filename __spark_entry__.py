@@ -1,38 +1,541 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship validation pass on sf0.001.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2);
+each callable takes (spark, sf_dir) and returns a DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+(same column names/types; aggregates made engine-deterministic via decimal
+arithmetic and explicit rounding). Non-SQL-expressible ops (MinHash/SimHash
+LSH, multimodal mapInPandas, t-digest) ship without an oracle → the driver
+records the weaker rows-only check; their semantics are pinned by tests/.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from events_validator_spark.operators import (
+    analytics, dedup, drift, similarity, text, uniqueness,
+)
+from events_validator_spark.operators.validation import (
+    explode_violations, validate_json,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# Reference-grammar rule spec applied to events.props (JSON → VARIANT path).
+# 'k' is an integer 0..99 in the data: the regex fires for 1-digit values,
+# 'u' is absent → a 'missing' row per event (validationHelpers.js semantics).
+EVENTS_PROPS_RULES = {
+    "k": {"type": "number", "regex": "^[0-9]{2}$"},
+    "u": {"type": "string"},
+}
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = validate_json(ev, EVENTS_PROPS_RULES, "props")
+    return explode_violations(out, ["event_id"])
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = price * (F.lit(1) - disc)
+    charge = price * (F.lit(1) - disc) * (F.lit(1) + tax)
+    n = F.count(F.lit(1))
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty).cast("double").alias("sum_qty"),
+                 F.sum(price).cast("double").alias("sum_base_price"),
+                 F.sum(disc_price).cast("double").alias("sum_disc_price"),
+                 F.sum(charge).cast("double").alias("sum_charge"),
+                 F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
+                 F.round(F.sum(price).cast("double") / n, 6).alias("avg_price"),
+                 F.round(F.sum(disc).cast("double") / n, 6).alias("avg_disc"),
+                 n.alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01"))
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy(F.col("l_orderkey"),
+                     F.col("o_orderdate").cast("date").alias("o_orderdate"))
+            .agg(F.sum(price * (F.lit(1) - disc)).cast("double")
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10))
+
+
+def q_a1_date_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.date_range_scan(
+        ev, "ts", "2024-01-05", "2024-01-09",
+        projection=["event_id", "ts", "event_type", "value"])
+
+
+def q_a2_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.distinct_names(_t(spark, sf_dir, "events"), "event_type")
+
+
+def q_a6_failures_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = analytics.failures_per_day(ev, "ts", "event_type",
+                                     F.col("event_type") == "error")
+    return out.select(F.col("date").cast("date").alias("date"),
+                      "event_name", "failures")
+
+
+def q_a7_daily_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = analytics.daily_error_rate(ev, "ts", "user_id",
+                                     F.col("event_type") == "error")
+    return out.select(F.col("date").cast("date").alias("date"),
+                      "total_events", "error_events", "error_rate")
+
+
+def q_u1_duplicate_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (uniqueness.duplicate_keys(orders, ["o_custkey"], n_salts=32)
+            .orderBy("o_custkey"))
+
+
+def q_r1_orphan_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthetic FK demo: events.user_id against the nation dimension — the
+    # user_id domain (0..149) exceeds n_nationkey (0..24) so orphans exist
+    from events_validator_spark.operators.referential import dangling_refs
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"))
+    return dangling_refs(ev, "user_id", nation, "n_nationkey")
+
+
+def q_s1_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from events_validator_spark.operators.stats import profile
+    li = _t(spark, sf_dir, "lineitem")
+    p = profile(li, ["l_quantity", "l_extendedprice", "l_discount"],
+                approx=False)
+    return p.select("column", "count", "nulls",
+                    F.col("min").cast("double").alias("min"),
+                    F.col("max").cast("double").alias("max"),
+                    F.col("distinct").alias("n_distinct"),
+                    F.round(F.element_at("quantiles", 2), 6).alias("median"))
+
+
+def q_s2_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75]))
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.element_at(q, 1), 6).alias("q25"),
+                 F.round(F.element_at(q, 2), 6).alias("q50"),
+                 F.round(F.element_at(q, 3), 6).alias("q75"))
+            .orderBy("l_returnflag"))
+
+
+def q_d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs).orderBy("fp")
+
+
+def q_t1_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.token_count(docs).select("doc_id", "n_tokens")
+
+
+def q_t2_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.quality_features(docs).select(
+        "doc_id", "n_tokens", "alpha_ratio", "digit_ratio", "punct_ratio")
+
+
+def q_t3_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.lang_scores(docs).select(
+        "doc_id", "score_en", "score_es", "score_fr", "score_de", "lang_pred")
+
+
+def q_t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.fingerprint(docs).select("doc_id", "fp")
+
+
+def q_ann1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def q_drift1_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cohort = F.dayofmonth("ts") >= 16   # events span 2024-01-01..30
+    return drift.psi_two_cohorts(ev, "value", cohort, nbins=10,
+                                 lo=0.0, hi=500.0)
+
+
+def q_drift2_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return drift.ks_two_sample(ev, "value", F.dayofmonth("ts") >= 16)
+
+
+# --- non-SQL-expressible (rows-only checks; semantics pinned in tests/) ----
+
+def q_m1_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(docs, threshold=0.8,
+                               num_hashes=32, bands=8).orderBy("id_a", "id_b")
+
+
+def q_m2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_dedup_candidates(docs, n_tables=4, max_hamming=3)
+
+
+def q_ann2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.lsh_topk(emb, queries, k=5, dim=64, n_planes=8)
+
+
+def q_mm1_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from events_validator_spark.operators.multimodal import extract_media_metadata
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(F.col("doc_id").cast("string").alias("media_ref"),
+                        F.encode("text", "utf-8").alias("payload"))
+    meta = extract_media_metadata(media)
+    return meta.select("media_ref", "n_bytes", "sha256")
+
+
+def q_v2_validate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship typed-path validation on the synthetic interleaved-docs table
+    (size scaled to the sf of the directory)."""
+    from events_validator_spark.operators.validation import validate_typed
+    from events_validator_spark.sources.synthetic import DOC_RULES, interleaved_docs
+    n = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}.get(
+        os.path.basename(os.path.normpath(sf_dir)), 60_000)
+    docs = interleaved_docs(spark, n)
+    out = validate_typed(docs, DOC_RULES)
+    return explode_violations(out, ["doc_id"])
+
+
+def q_drift3_tdigest_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    grouped = ev.withColumn(
+        "half", F.when(F.dayofmonth("ts") >= 16, "cur").otherwise("base"))
+    return drift.ks_from_digests(grouped, "value", "half")
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_validate_events(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "validate_events": q_validate_events,
+        "validate_docs": q_v2_validate_docs,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_top_revenue": q_q3_top_revenue,
+        "a1_date_range_scan": q_a1_date_range_scan,
+        "a2_distinct_event_types": q_a2_distinct_event_types,
+        "a6_failures_per_day": q_a6_failures_per_day,
+        "a7_daily_error_rate": q_a7_daily_error_rate,
+        "u1_duplicate_custkeys": q_u1_duplicate_custkeys,
+        "r1_orphan_refs": q_r1_orphan_refs,
+        "s1_lineitem_stats": q_s1_lineitem_stats,
+        "s2_quantiles_by_flag": q_s2_quantiles_by_flag,
+        "d1_dedup_exact": q_d1_dedup_exact,
+        "t1_token_counts": q_t1_token_counts,
+        "t2_text_quality": q_t2_text_quality,
+        "t3_lang_scores": q_t3_lang_scores,
+        "t4_fingerprint": q_t4_fingerprint,
+        "ann1_topk": q_ann1_topk,
+        "drift1_psi": q_drift1_psi,
+        "drift2_ks": q_drift2_ks,
+        "m1_minhash_pairs": q_m1_minhash_pairs,
+        "m2_simhash_pairs": q_m2_simhash_pairs,
+        "ann2_lsh_topk": q_ann2_lsh_topk,
+        "mm1_media_meta": q_mm1_media_meta,
+        "drift3_tdigest_ks": q_drift3_tdigest_ks,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "validate_events": r"""
+            SELECT event_id, 'k' AS field, 'regex' AS error_type,
+                   '^[0-9]{2}$' AS expected,
+                   json_extract_string(props, '$.k') AS actual
+            FROM events
+            WHERE NOT regexp_matches(json_extract_string(props, '$.k'),
+                                     '^[0-9]{2}$')
+            UNION ALL
+            SELECT event_id, 'k', 'type', 'number',
+                   lower(json_type(props, '$.k'))
+            FROM events
+            WHERE json_type(props, '$.k') NOT IN
+                  ('UBIGINT', 'BIGINT', 'DOUBLE')
+            UNION ALL
+            SELECT event_id, 'u', 'missing', 'field present', 'field missing'
+            FROM events
+            WHERE json_extract(props, '$.u') IS NULL
+        """,
+        "q1_pricing_summary": r"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                            (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                            (1 - CAST(l_discount AS DECIMAL(4,2))) *
+                            (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+                   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue": r"""
+            SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                            (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "a1_date_range_scan": r"""
+            SELECT event_id, ts, event_type, value
+            FROM events
+            WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+        """,
+        "a2_distinct_event_types": r"""
+            SELECT DISTINCT event_type FROM events ORDER BY event_type
+        """,
+        "a6_failures_per_day": r"""
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS date,
+                   event_type AS event_name, COUNT(*) AS failures
+            FROM events WHERE event_type = 'error'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "a7_daily_error_rate": r"""
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS date,
+                   COUNT(DISTINCT user_id) AS total_events,
+                   COUNT(DISTINCT CASE WHEN event_type = 'error'
+                                       THEN user_id END) AS error_events,
+                   ROUND(COUNT(DISTINCT CASE WHEN event_type = 'error'
+                                             THEN user_id END) * 100.0
+                         / COUNT(DISTINCT user_id), 6) AS error_rate
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "u1_duplicate_custkeys": r"""
+            SELECT o_custkey, COUNT(*) AS dup_count
+            FROM orders GROUP BY o_custkey
+            HAVING COUNT(*) > 1 ORDER BY o_custkey
+        """,
+        "r1_orphan_refs": r"""
+            SELECT event_id, user_id FROM events
+            WHERE user_id IS NOT NULL
+              AND user_id NOT IN (SELECT n_nationkey FROM nation)
+        """,
+        "s1_lineitem_stats": r"""
+            SELECT 'l_quantity' AS "column", COUNT(l_quantity) AS count,
+                   SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls,
+                   CAST(MIN(l_quantity) AS DOUBLE) AS min,
+                   CAST(MAX(l_quantity) AS DOUBLE) AS max,
+                   COUNT(DISTINCT l_quantity) AS n_distinct,
+                   ROUND(quantile_cont(l_quantity, 0.5), 6) AS median
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', COUNT(l_extendedprice),
+                   SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+                   CAST(MIN(l_extendedprice) AS DOUBLE),
+                   CAST(MAX(l_extendedprice) AS DOUBLE),
+                   COUNT(DISTINCT l_extendedprice),
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 6)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', COUNT(l_discount),
+                   SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+                   CAST(MIN(l_discount) AS DOUBLE),
+                   CAST(MAX(l_discount) AS DOUBLE),
+                   COUNT(DISTINCT l_discount),
+                   ROUND(quantile_cont(l_discount, 0.5), 6)
+            FROM lineitem
+        """,
+        "s2_quantiles_by_flag": r"""
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+                   ROUND(quantile_cont(l_quantity, 0.50), 6) AS q50,
+                   ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "d1_dedup_exact": r"""
+            SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                   MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "t1_token_counts": r"""
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                        END AS INTEGER) AS n_tokens
+            FROM documents
+        """,
+        "t2_text_quality": r"""
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                        END AS INTEGER) AS n_tokens,
+                   ROUND(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / GREATEST(len(text), 1), 6) AS alpha_ratio,
+                   ROUND(len(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / GREATEST(len(text), 1), 6) AS digit_ratio,
+                   ROUND(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                         / GREATEST(len(text), 1), 6) AS punct_ratio
+            FROM documents
+        """,
+        "t3_lang_scores": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                ROUND(len(list_filter(toks, x -> list_contains(
+                  ['the','and','of','to','a','in','is'], x)))
+                  / GREATEST(len(toks), 1), 6) AS score_en,
+                ROUND(len(list_filter(toks, x -> list_contains(
+                  ['el','la','de','que','y','en','los'], x)))
+                  / GREATEST(len(toks), 1), 6) AS score_es,
+                ROUND(len(list_filter(toks, x -> list_contains(
+                  ['le','la','de','et','les','des','un'], x)))
+                  / GREATEST(len(toks), 1), 6) AS score_fr,
+                ROUND(len(list_filter(toks, x -> list_contains(
+                  ['der','die','das','und','nicht','ein','zu'], x)))
+                  / GREATEST(len(toks), 1), 6) AS score_de
+              FROM t
+            )
+            SELECT doc_id, score_en, score_es, score_fr, score_de,
+                   CASE
+                     WHEN GREATEST(score_en, score_es, score_fr, score_de) = 0
+                       THEN 'und'
+                     WHEN score_en = GREATEST(score_en, score_es, score_fr, score_de)
+                       THEN 'en'
+                     WHEN score_es = GREATEST(score_es, score_fr, score_de)
+                       THEN 'es'
+                     WHEN score_fr = GREATEST(score_fr, score_de) THEN 'fr'
+                     ELSE 'de'
+                   END AS lang_pred
+            FROM s
+        """,
+        "t4_fingerprint": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "ann1_topk": r"""
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, e.embedding) AS sim
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        "drift1_psi": r"""
+            WITH tagged AS (
+              SELECT LEAST(GREATEST(CAST(floor(value / 50.0) AS INT), 0), 9)
+                       AS bucket,
+                     (EXTRACT(day FROM ts) >= 16) AS cur
+              FROM events WHERE value IS NOT NULL
+            ), wide AS (
+              SELECT bucket,
+                     SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS c_cnt,
+                     SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS b_cnt
+              FROM tagged GROUP BY bucket
+            ), tot AS (
+              SELECT SUM(c_cnt) AS ct, SUM(b_cnt) AS bt FROM wide
+            )
+            SELECT ROUND(SUM(
+                     (GREATEST(c_cnt / GREATEST(ct, 1), 1e-6)
+                      - GREATEST(b_cnt / GREATEST(bt, 1), 1e-6))
+                     * ln(GREATEST(c_cnt / GREATEST(ct, 1), 1e-6)
+                          / GREATEST(b_cnt / GREATEST(bt, 1), 1e-6))
+                   ), 8) AS psi
+            FROM wide, tot
+        """,
+        "drift2_ks": r"""
+            WITH d AS (
+              SELECT value AS x,
+                     CASE WHEN EXTRACT(day FROM ts) >= 16 THEN 1 ELSE 0 END AS in_a
+              FROM events WHERE value IS NOT NULL
+            ), g AS (
+              SELECT x, SUM(in_a) AS a, SUM(1 - in_a) AS b
+              FROM d GROUP BY x
+            ), tot AS (
+              SELECT SUM(a) AS na, SUM(b) AS nb FROM g
+            ), cum AS (
+              SELECT SUM(a) OVER (ORDER BY x) AS ca,
+                     SUM(b) OVER (ORDER BY x) AS cb
+              FROM g
+            )
+            SELECT ROUND(MAX(ABS(ca / GREATEST(na, 1)
+                                 - cb / GREATEST(nb, 1))), 8) AS ks
+            FROM cum, tot
+        """,
+        # m1/m2 (MinHash/SimHash LSH), ann2 (pandas-UDF LSH), mm1 (mapInPandas),
+        # drift3 (t-digest), validate_docs (synthetic input) — no SQL oracle;
+        # driver records rows-only; semantics pinned by tests/.
+    }

@@ -1,0 +1,127 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The headline metric is documents-validated-per-second under the FULL
+constraint suite (rule validation + uniqueness + referential + single-pass
+stats + drift) over the synthetic interleaved-docs table sized to the scale
+factor, plus per-query wall times for the operator suite on the driver tables.
+
+Env:
+    SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+    BENCH_DOCS           override synthetic doc count
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entrymod
+from events_validator_spark.operators import drift, referential, uniqueness
+from events_validator_spark.operators.stats import profile
+from events_validator_spark.operators.validation import validate_typed
+from events_validator_spark.plans.pipeline import VERDICT_COLS  # noqa: F401
+from events_validator_spark.session import get_spark
+from events_validator_spark.sources.synthetic import (
+    CATALOG_SIZE_RATIO, DOC_RULES, interleaved_docs, media_catalog,
+)
+
+BENCH_QUERIES = [
+    "validate_events", "q1_pricing_summary", "q3_top_revenue",
+    "a6_failures_per_day", "a7_daily_error_rate", "u1_duplicate_custkeys",
+    "r1_orphan_refs", "s1_lineitem_stats", "s2_quantiles_by_flag",
+    "d1_dedup_exact", "m1_minhash_pairs", "t2_text_quality", "t3_lang_scores",
+    "ann1_topk", "drift1_psi", "drift2_ks",
+]
+
+
+def full_constraint_suite(spark, n_docs: int, cores: int) -> dict:
+    """One end-to-end validation job set over the interleaved-docs table:
+    rules + uniqueness + referential + single-pass stats + drift."""
+    docs = interleaved_docs(spark, n_docs, n_partitions=cores * 2)
+    catalog = media_catalog(spark, max(n_docs // CATALOG_SIZE_RATIO, 16))
+    t0 = time.monotonic()
+
+    validated = validate_typed(docs, DOC_RULES)
+    n_viol = (validated.select(F.explode("violations")).count())
+
+    n_dup = uniqueness.duplicate_keys(docs, ["doc_id"], n_salts=64).count()
+    n_dangling = referential.referential_violations_spans(
+        docs, catalog).count()
+
+    flat = docs.select(
+        F.col("doc_id"),
+        F.size("spans").alias("n_spans"),
+        F.xxhash64("doc_id").alias("h"))
+    prof_rows = profile(flat, ["n_spans"], approx=True).count()
+    psi = drift.psi_two_cohorts(
+        flat, "n_spans", F.pmod(F.col("h"), F.lit(2)) == 0,
+        nbins=12, lo=0.0, hi=12.0).collect()[0]["psi"]
+
+    wall = time.monotonic() - t0
+    return {
+        "docs": n_docs, "violations": n_viol, "duplicate_keys": n_dup,
+        "dangling_refs": n_dangling, "profile_rows": prof_rows, "psi": psi,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(sf_name.replace("sf", "")) if sf_name.startswith("sf") else 0.1
+    n_docs = int(os.environ.get("BENCH_DOCS", str(int(6_000_000 * sf))))
+
+    spark = get_spark(app_name="evspark-bench", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: compile the codegen for the big validation expressions on a tiny
+    # input so the measured run reflects steady-state throughput (a real
+    # cluster job amortizes one-time compilation over hours)
+    full_constraint_suite(spark, 10_000, cores)
+
+    # best-of-N: this sandbox VM suffers CPU steal with ~10x wall-time
+    # outliers; noise is one-sided so the minimum is the honest estimate
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    suite = min((full_constraint_suite(spark, n_docs, cores)
+                 for _ in range(repeats)), key=lambda s: s["wall_sec"])
+
+    qs = entrymod.queries()
+    timings = {}
+    for name in BENCH_QUERIES:
+        best = None
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    total = round(suite["wall_sec"] + sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "full_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+        "docs_per_sec": suite["docs_per_sec"],
+        "suite_wall_sec": suite["wall_sec"],
+        "suite": suite,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

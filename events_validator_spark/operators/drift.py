@@ -113,12 +113,15 @@ def ks_two_sample(df: DataFrame, column: str, cohort: F.Column) -> DataFrame:
     d = df.select(F.col(column).cast("double").alias("x"),
                   cohort.cast("int").alias("in_a"))
     d = d.where(F.col("x").isNotNull())
-    tot = d.agg(F.sum("in_a").alias("na"),
-                F.sum(1 - F.col("in_a")).alias("nb"))
+    # pre-aggregate ties: deterministic CDF regardless of row order, and the
+    # window input shrinks to the distinct-value count
+    g = d.groupBy("x").agg(F.sum("in_a").alias("a"),
+                           F.sum(1 - F.col("in_a")).alias("b"))
+    tot = g.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
     w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    cum = d.select(
-        (F.sum("in_a").over(w)).alias("ca"),
-        (F.sum(1 - F.col("in_a")).over(w)).alias("cb"))
+    cum = g.select(
+        (F.sum("a").over(w)).alias("ca"),
+        (F.sum("b").over(w)).alias("cb"))
     cum = cum.crossJoin(F.broadcast(tot))
     return cum.agg(F.round(F.max(F.abs(
         F.col("ca") / F.greatest(F.col("na"), F.lit(1)) -

@@ -18,8 +18,13 @@ Two field-access models share the same compiler:
   vs JSON null (``schema_of_variant == 'VOID'`` → ``typeof`` 'object') vs value
   types, exactly matching ``typeof null === 'object'`` (validationHelpers.js:7).
 
+Cost discipline: every per-key expression is built inside ``let_`` bindings
+(functions/exprs.py) so the field's VARIANT value — and its
+``schema_of_variant`` — are evaluated once per row per key, and the parsed
+root VARIANT once per row, no matter how many checks reference them.
+
 Semantics pinned against :mod:`events_validator_spark.js_oracle` by
-tests/test_validation_*.py (SURVEY.md §2.2 quirk list V1–V12).
+tests/test_validation*.py (SURVEY.md §2.2 quirk list V1–V12).
 """
 
 from __future__ import annotations
@@ -30,6 +35,7 @@ from typing import Callable, Optional, Union
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
+from events_validator_spark.functions.exprs import let_
 from events_validator_spark.functions.js_compat import (
     js_regex_to_java,
     js_to_string,
@@ -40,6 +46,7 @@ from events_validator_spark.functions.js_compat import (
 
 VIOLATION_STRUCT_DDL = "struct<field:string,error_type:string,expected:string,actual:string>"
 VIOLATION_ARRAY_DDL = f"array<{VIOLATION_STRUCT_DDL}>"
+
 
 def _null_str() -> Column:
     return F.lit(None).cast("string")
@@ -103,65 +110,34 @@ def _absent_view() -> FieldView:
         _null_str(), F.lit(None).cast("int"))
 
 
-class Accessor:
-    """Resolves rule keys to :class:`FieldView`; supports nested recursion."""
+class BoundField:
+    """One event field, value already bound — checks read ``view``; the type
+    check's nested recursion goes through ``array_elements``/``nested``."""
 
-    def field(self, key: str) -> FieldView:  # pragma: no cover - interface
-        raise NotImplementedError
+    def __init__(self, view: FieldView):
+        self.view = view
 
-    def nested_object(self, key: str) -> "Accessor":
-        raise NotImplementedError
-
-    def array_elements(self, key: str) -> tuple[Optional[Column],
-                                                Optional[Callable[[Column], "Accessor"]]]:
+    def array_elements(self) -> tuple[Optional[Column],
+                                      Optional[Callable[[Column], "Accessor"]]]:
         """(array column, element→Accessor factory); (None, None) if statically
-        not an array. The factory applies the JS scalar wrap (js:41-42) itself."""
-        raise NotImplementedError
+        not an array. The factory applies the JS scalar wrap (js:41-42)."""
+        return None, None
+
+    def nested(self) -> "Accessor":
+        return _ABSENT_ACCESSOR
+
+
+class Accessor:
+    """Resolves rule keys to bound fields; one per event-data access model."""
+
+    def with_field(self, key: str,
+                   fn: Callable[[BoundField], Column]) -> Column:
+        raise NotImplementedError  # pragma: no cover - interface
 
 
 # ---------------------------------------------------------------------------
 # Typed (static-schema) accessor
 # ---------------------------------------------------------------------------
-
-class TypedAccessor(Accessor):
-    """Fields are ordinary typed columns; NULL ⇒ absent (documented mapping)."""
-
-    def __init__(self, col: Optional[Column], dtype: T.DataType,
-                 root_df: DataFrame | None = None):
-        self._col = col            # None ⇒ root: fields are top-level df columns
-        self._dtype = dtype
-        self._df = root_df
-
-    def _get(self, key: str) -> tuple[Optional[Column], Optional[T.DataType]]:
-        if not isinstance(self._dtype, T.StructType) or key not in self._dtype.fieldNames():
-            return None, None
-        ft = self._dtype[key].dataType
-        if self._col is None:
-            return self._df[key], ft
-        return self._col[key], ft
-
-    def field(self, key: str) -> FieldView:
-        col, dtype = self._get(key)
-        if col is None:  # statically absent from the Spark schema
-            return _absent_view()
-        return _typed_view(col, dtype)
-
-    def nested_object(self, key: str) -> "Accessor":
-        col, dtype = self._get(key)
-        if col is None or not isinstance(dtype, T.StructType):
-            return _ABSENT_ACCESSOR
-        return TypedAccessor(col, dtype)
-
-    def array_elements(self, key: str):
-        col, dtype = self._get(key)
-        if col is None or not isinstance(dtype, T.ArrayType):
-            return None, None
-        elem_t = dtype.elementType
-        if isinstance(elem_t, T.StructType):
-            return col, lambda elem: TypedAccessor(elem, elem_t)
-        # scalar elements are wrapped {'': item} (js:41-42): only key '' resolves
-        return col, lambda elem: _TypedScalarWrap(elem, elem_t)
-
 
 def _typed_view(col: Column, dtype: T.DataType) -> FieldView:
     if isinstance(dtype, T.StringType):
@@ -180,17 +156,58 @@ def _typed_view(col: Column, dtype: T.DataType) -> FieldView:
     )
 
 
+class _TypedBound(BoundField):
+    def __init__(self, col: Column, dtype: T.DataType):
+        super().__init__(_typed_view(col, dtype))
+        self._col, self._dtype = col, dtype
+
+    def array_elements(self):
+        if not isinstance(self._dtype, T.ArrayType):
+            return None, None
+        elem_t = self._dtype.elementType
+        if isinstance(elem_t, T.StructType):
+            return self._col, lambda elem: TypedAccessor(elem, elem_t)
+        # scalar elements are wrapped {'': item} (js:41-42): only key '' resolves
+        return self._col, lambda elem: _TypedScalarWrap(elem, elem_t)
+
+    def nested(self) -> "Accessor":
+        if isinstance(self._dtype, T.StructType):
+            return TypedAccessor(self._col, self._dtype)
+        return _ABSENT_ACCESSOR
+
+
+class TypedAccessor(Accessor):
+    """Fields are ordinary typed columns; NULL ⇒ absent (documented mapping).
+
+    No let_ binding needed: field access is an attribute read, not a compute.
+    """
+
+    def __init__(self, col: Optional[Column], dtype: T.DataType,
+                 root_df: DataFrame | None = None):
+        self._col = col            # None ⇒ root: fields are top-level df columns
+        self._dtype = dtype
+        self._df = root_df
+
+    def _get(self, key: str) -> tuple[Optional[Column], Optional[T.DataType]]:
+        if not isinstance(self._dtype, T.StructType) or key not in self._dtype.fieldNames():
+            return None, None
+        ft = self._dtype[key].dataType
+        if self._col is None:
+            return self._df[key], ft
+        return self._col[key], ft
+
+    def with_field(self, key, fn):
+        col, dtype = self._get(key)
+        if col is None:  # statically absent from the Spark schema
+            return fn(BoundField(_absent_view()))
+        return fn(_TypedBound(col, dtype))
+
+
 class _AbsentAccessor(Accessor):
     """Every key is statically absent (recursion into a non-struct)."""
 
-    def field(self, key: str) -> FieldView:
-        return _absent_view()
-
-    def nested_object(self, key: str) -> "Accessor":
-        return self
-
-    def array_elements(self, key: str):
-        return None, None
+    def with_field(self, key, fn):
+        return fn(BoundField(_absent_view()))
 
 
 _ABSENT_ACCESSOR = _AbsentAccessor()
@@ -203,16 +220,10 @@ class _TypedScalarWrap(Accessor):
         self._elem = elem
         self._elem_t = elem_t
 
-    def field(self, key: str) -> FieldView:
+    def with_field(self, key, fn):
         if key == "":
-            return _typed_view(self._elem, self._elem_t)
-        return _absent_view()
-
-    def nested_object(self, key: str) -> Accessor:
-        return _ABSENT_ACCESSOR
-
-    def array_elements(self, key: str):
-        return None, None
+            return fn(_TypedBound(self._elem, self._elem_t))
+        return fn(BoundField(_absent_view()))
 
 
 # ---------------------------------------------------------------------------
@@ -222,8 +233,7 @@ class _TypedScalarWrap(Accessor):
 _NUMBER_TYPES_RE = r"^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)"
 
 
-def _variant_typeof(v: Column, array_aware: bool) -> Column:
-    sv = F.schema_of_variant(v)
+def _variant_typeof(v: Column, sv: Column, array_aware: bool) -> Column:
     arr_label = "array" if array_aware else "object"
     return (
         F.when(v.isNull(), "undefined")
@@ -236,9 +246,11 @@ def _variant_typeof(v: Column, array_aware: bool) -> Column:
     )
 
 
-def _variant_to_string(v: Column, depth: int = 3) -> Column:
+def _variant_to_string(v: Column, sv: Column | None = None,
+                       depth: int = 3) -> Column:
     """JS ``v?.toString()`` over a VARIANT value."""
-    sv = F.schema_of_variant(v)
+    if sv is None:
+        sv = F.schema_of_variant(v)
     num = F.try_variant_get(v, "$", "double")
     num_s = F.when((num == F.floor(num)) & (F.abs(num) < F.lit(1e16)),
                    num.cast("long").cast("string")).otherwise(num.cast("string"))
@@ -248,7 +260,8 @@ def _variant_to_string(v: Column, depth: int = 3) -> Column:
         arr_s = F.array_join(
             F.transform(
                 F.try_variant_get(v, "$", "array<variant>"),
-                lambda e: F.coalesce(_variant_to_string(e, depth - 1), F.lit(""))),
+                lambda e: F.coalesce(_variant_to_string(e, None, depth - 1),
+                                     F.lit(""))),
             ",")
     return (
         F.when(v.isNull() | (sv == "VOID"), _null_str())
@@ -260,8 +273,7 @@ def _variant_to_string(v: Column, depth: int = 3) -> Column:
     )
 
 
-def _variant_view(v: Column) -> FieldView:
-    sv = F.schema_of_variant(v)
+def _variant_view(v: Column, sv: Column) -> FieldView:
     length = (
         F.when(sv == "STRING", F.length(F.try_variant_get(v, "$", "string")))
         .when(sv.startswith("ARRAY"),
@@ -270,12 +282,31 @@ def _variant_view(v: Column) -> FieldView:
     )
     return FieldView(
         present=v.isNotNull(),   # JSON null → VOID variant (still present)
-        typeof=_variant_typeof(v, array_aware=False),
-        actual=_variant_typeof(v, array_aware=True),
+        typeof=_variant_typeof(v, sv, array_aware=False),
+        actual=_variant_typeof(v, sv, array_aware=True),
         is_null=sv == "VOID",
-        as_string=_variant_to_string(v),
+        as_string=_variant_to_string(v, sv),
         js_length=length,
     )
+
+
+class _VariantBound(BoundField):
+    def __init__(self, v: Column, sv: Column):
+        super().__init__(_variant_view(v, sv))
+        self._v = v
+
+    def array_elements(self):
+        return (F.try_variant_get(self._v, "$", "array<variant>"),
+                _VariantElement)
+
+    def nested(self) -> "Accessor":
+        return VariantAccessor(self._v)
+
+
+def _bind_variant(v: Column, fn: Callable[[BoundField], Column]) -> Column:
+    """Bind the field's variant AND its schema_of_variant once per row."""
+    return let_(v, lambda bv: let_(
+        F.schema_of_variant(bv), lambda sv: fn(_VariantBound(bv, sv))))
 
 
 class VariantAccessor(Accessor):
@@ -288,35 +319,27 @@ class VariantAccessor(Accessor):
         esc = key.replace("\\", "\\\\").replace('"', '\\"')
         return F.try_variant_get(self._root, f'$["{esc}"]', "variant")
 
-    def field(self, key: str) -> FieldView:
-        return _variant_view(self._get(key))
-
-    def nested_object(self, key: str) -> "Accessor":
-        return VariantAccessor(self._get(key))
-
-    def array_elements(self, key: str):
-        arr = F.try_variant_get(self._get(key), "$", "array<variant>")
-        return arr, _VariantElement
+    def with_field(self, key, fn):
+        return _bind_variant(self._get(key), fn)
 
 
 class _VariantElement(Accessor):
     """Accessor over one array element variant, with the JS scalar wrap built in.
 
-    JS (validationHelpers.js:41-44): an element that is an object recurses
-    directly; any other element (scalar, null, even nested ARRAYS are typeof
-    'object' in JS so arrays recurse directly too) is wrapped as ``{'': item}``.
-    In variant terms, ``variant_get(elem, '$["k"]')`` on a non-object is SQL NULL
-    → 'missing', which is exactly what the wrap produces for every key except
-    ``''``. Only the ``''`` key needs a dynamic branch between "the element
-    itself" (wrap) and "the object's actual '' member" (direct).
+    JS (validationHelpers.js:41-44): an element that is typeof 'object' and
+    non-null recurses directly (this includes ARRAYS — typeof [] is 'object');
+    anything else is wrapped as ``{'': item}``. In variant terms,
+    ``variant_get(elem, '$["k"]')`` on a non-object is SQL NULL → 'missing',
+    which is exactly what the wrap produces for every key except ``''``; only
+    the ``''`` key needs a dynamic branch between "the element itself" (wrap)
+    and "the object's actual '' member" (direct).
     """
 
     def __init__(self, elem: Column):
         self._elem = elem
-        # wrapped when NOT (typeof === 'object' && item !== null):
-        # objects and arrays recurse directly; null/scalars are wrapped.
         sv = F.schema_of_variant(elem)
-        self._direct = sv.startswith("OBJECT") | sv.startswith("ARRAY") | sv.startswith("STRUCT")
+        self._direct = (sv.startswith("OBJECT") | sv.startswith("ARRAY")
+                        | sv.startswith("STRUCT"))
 
     def _get(self, key: str) -> Column:
         esc = key.replace("\\", "\\\\").replace('"', '\\"')
@@ -325,15 +348,8 @@ class _VariantElement(Accessor):
             return F.when(self._direct, member).otherwise(self._elem)
         return member
 
-    def field(self, key: str) -> FieldView:
-        return _variant_view(self._get(key))
-
-    def nested_object(self, key: str) -> Accessor:
-        return VariantAccessor(self._get(key))
-
-    def array_elements(self, key: str):
-        arr = F.try_variant_get(self._get(key), "$", "array<variant>")
-        return arr, _VariantElement
+    def with_field(self, key, fn):
+        return _bind_variant(self._get(key), fn)
 
 
 # ---------------------------------------------------------------------------
@@ -353,36 +369,39 @@ def compile_violations(rules: dict, accessor: Accessor,
         if key == "version":  # js:134
             continue
         path = F.lit(key) if parent is None else F.concat(parent, F.lit("." + key))
-        fv = accessor.field(key)
-        optional = _is_optional(rule)
-
-        checks: list[Column] = []
-        if "value" in rule:
-            checks.append(_check_value(rule, fv, path))
-        if "type" in rule:
-            checks.append(_check_type(rule, fv, path, key, accessor, optional))
-        if "length" in rule:
-            checks.append(_check_length(rule, fv, path))
-        if "regex" in rule:
-            checks.append(_check_regex(rule, fv, path))
-        if "enum" in rule:  # engine extension (north rule): enum membership
-            checks.append(_check_enum(rule, fv, path))
-        body = _concat(checks)
-
-        # optional + (null | trimmed-empty string) → skip all checks (js:148-153)
-        if optional:
-            skip = fv.is_null | ((fv.typeof == "string") &
-                                 (F.trim(F.coalesce(fv.as_string, F.lit(""))) == ""))
-            per_key = _gate(fv.present & ~skip, body)
-        else:
-            missing = _one(path, "missing", "field present", "field missing")
-            per_key = F.when(~fv.present, missing).otherwise(body)
-        parts.append(per_key)
+        parts.append(accessor.with_field(
+            key, lambda bf, rule=rule, path=path: _per_key(bf, rule, path)))
     return _concat(parts)
 
 
-def _check_type(rule: dict, fv: FieldView, path: Column, key: str,
-                accessor: Accessor, optional: bool) -> Column:
+def _per_key(bf: BoundField, rule: dict, path: Column) -> Column:
+    fv = bf.view
+    optional = _is_optional(rule)
+    checks: list[Column] = []
+    if "value" in rule:
+        checks.append(_check_value(rule, fv, path))
+    if "type" in rule:
+        checks.append(_check_type(rule, bf, path, optional))
+    if "length" in rule:
+        checks.append(_check_length(rule, fv, path))
+    if "regex" in rule:
+        checks.append(_check_regex(rule, fv, path))
+    if "enum" in rule:  # engine extension (north rule): enum membership
+        checks.append(_check_enum(rule, fv, path))
+    body = _concat(checks)
+
+    # optional + (null | trimmed-empty string) → skip all checks (js:148-153)
+    if optional:
+        skip = fv.is_null | ((fv.typeof == "string") &
+                             (F.trim(F.coalesce(fv.as_string, F.lit(""))) == ""))
+        return _gate(fv.present & ~skip, body)
+    missing = _one(path, "missing", "field present", "field missing")
+    return F.when(~fv.present, missing).otherwise(body)
+
+
+def _check_type(rule: dict, bf: BoundField, path: Column,
+                optional: bool) -> Column:
+    fv = bf.view
     expected = rule["type"]
     if expected == "string":  # js:10-31 — actual is PLAIN typeof here (js:18)
         wrong = _gate(fv.typeof != "string",
@@ -402,7 +421,7 @@ def _check_type(rule: dict, fv: FieldView, path: Column, key: str,
         not_array = _one(path, "type", "array", fv.actual)
         nested = rule.get("nestedSchema")
         if nested:
-            arr, factory = accessor.array_elements(key)
+            arr, factory = bf.array_elements()
             if arr is not None:
                 def per_elem(elem: Column, i: Column) -> Column:
                     ipath = F.concat(path, F.lit("["), i.cast("string"), F.lit("]"))
@@ -418,7 +437,7 @@ def _check_type(rule: dict, fv: FieldView, path: Column, key: str,
         nested = rule.get("nestedSchema")
         if not nested:
             return bad
-        sub = compile_violations(nested, accessor.nested_object(key), parent=path)
+        sub = compile_violations(nested, bf.nested(), parent=path)
         ok = fv.present & ~fv.is_null & (fv.actual == "object")
         return F.when(ok, sub).otherwise(bad)
 
@@ -485,9 +504,14 @@ def validate_typed(df: DataFrame, rules: dict,
 
 def validate_json(df: DataFrame, rules: dict, json_col: str,
                   out_col: str = "violations") -> DataFrame:
-    """Validate a JSON-string column with full JS fidelity via VARIANT."""
-    v = F.parse_json(F.col(json_col))
-    return df.withColumn(out_col, compile_violations(rules, VariantAccessor(v)))
+    """Validate a JSON-string column with full JS fidelity via VARIANT.
+
+    The parsed VARIANT root is let_-bound: ``parse_json`` runs once per row,
+    however many fields the rule spec touches.
+    """
+    out = let_(F.parse_json(F.col(json_col)),
+               lambda v: compile_violations(rules, VariantAccessor(v)))
+    return df.withColumn(out_col, out)
 
 
 def explode_violations(df: DataFrame, id_cols: list[str],
