@@ -34,6 +34,7 @@ def profile(df: DataFrame, columns: list[str] | None = None,
                                                       T.MapType, T.BinaryType,
                                                       T.VariantType))]
     aggs = []
+    q_aggs = []
     for c in cols:
         col = F.col(c)
         dt = df.schema[c].dataType
@@ -48,10 +49,20 @@ def profile(df: DataFrame, columns: list[str] | None = None,
         if isinstance(dt, _NUMERIC):
             q = (F.percentile_approx(col, list(quantiles)) if approx
                  else F.percentile(col, list(quantiles)))
-            aggs.append(q.cast("array<double>").alias(f"{c}__quantiles"))
+            q = q.cast("array<double>").alias(f"{c}__quantiles")
         else:
-            aggs.append(F.lit(None).cast("array<double>").alias(f"{c}__quantiles"))
+            q = F.lit(None).cast("array<double>").alias(f"{c}__quantiles")
+        if approx:
+            aggs.append(q)       # sketches compose fine in the single pass
+        else:
+            q_aggs.append(q)
     wide = df.agg(*aggs)
+    if q_aggs:
+        # exact percentiles build value→count maps per aggregate; fused with
+        # countDistinct they run over the Expand-multiplied input (rows ×
+        # n_distinct_aggs) and merge in one reducer — 10-30x slower. The exact
+        # (oracle) path pays one extra pruned scan instead.
+        wide = wide.crossJoin(df.agg(*q_aggs))
 
     # unpivot the single wide row into one row per column
     row_structs = [

@@ -514,6 +514,57 @@ def validate_json(df: DataFrame, rules: dict, json_col: str,
     return df.withColumn(out_col, out)
 
 
+def validate_multi(df: DataFrame, rules_by_name: dict[str, dict],
+                   name_col: str, json_col: str | None = None,
+                   out_col: str = "violations",
+                   status_col: str = "status") -> DataFrame:
+    """Dynamic multi-schema dispatch (SURVEY.md §2.3 J1).
+
+    The reference resolves ``<event_name>.json`` per request
+    (validator_src/index.js:45); here every per-type rule set compiles once and
+    the row's type selects its expression via a ``F.when`` chain — one pass,
+    no join, no shuffle. An unknown type yields NULL violations and status
+    'schema_not_found' (the reference's HTTP 404, index.js:47-50); otherwise
+    status is 'validation_failed' / 'valid' (index.js:54-75).
+
+    With many event types the chain grows linearly; beyond a few hundred
+    compiled types, partition per type and union instead (SURVEY.md §7.3.6).
+    """
+    def chain(accessor_for: Callable[[], Accessor]) -> Column:
+        expr = None
+        for name, rules in rules_by_name.items():
+            c = compile_violations(rules, accessor_for())
+            cond = F.col(name_col) == name
+            expr = F.when(cond, c) if expr is None else expr.when(cond, c)
+        return expr.otherwise(F.lit(None).cast(VIOLATION_ARRAY_DDL))
+
+    if json_col is None:
+        acc = TypedAccessor(None, df.schema, root_df=df)
+        out = df.withColumn(out_col, chain(lambda: acc))
+    else:
+        bound = let_(F.parse_json(F.col(json_col)),
+                     lambda v: chain(lambda: VariantAccessor(v)))
+        out = df.withColumn(out_col, bound)
+    return out.withColumn(
+        status_col,
+        F.when(F.col(out_col).isNull(), "schema_not_found")
+        .when(F.size(out_col) > 0, "validation_failed")
+        .otherwise("valid"))
+
+
+def request_gate(df: DataFrame, name_col: str,
+                 required_cols: list[str] | None = None) -> DataFrame:
+    """Pre-flight gating (SURVEY.md §2.2 V13): the reference 400s requests with
+    no body / no event data / no event name (validator_src/index.js:24-43).
+    Batch equivalent: rows failing the gate get status 'invalid_request' and
+    are excluded from validation by the caller."""
+    cond = F.col(name_col).isNull() | (F.trim(F.col(name_col)) == "")
+    for c in required_cols or []:
+        cond = cond | F.col(c).isNull()
+    return df.withColumn("gate_status",
+                         F.when(cond, "invalid_request").otherwise("ok"))
+
+
 def explode_violations(df: DataFrame, id_cols: list[str],
                        violations_col: str = "violations") -> DataFrame:
     """violations array → one row per violation (the reference's log-row shape)."""

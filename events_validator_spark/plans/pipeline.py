@@ -39,8 +39,16 @@ def _bucket(col, n):  # deterministic partition bucketing of doc ids
 def run_validation(docs: DataFrame, rules: dict, out_dir: str,
                    event_name: str = "interleaved_doc",
                    n_buckets: int = 8, run_id: str | None = None,
-                   snapshot_id: str | None = None) -> dict:
+                   snapshot_id: str | None = None,
+                   log_payload_when_error: bool = False,
+                   log_valid_fields: bool = False) -> dict:
     """Validate ``docs`` bucket by bucket with manifest-based resume.
+
+    ``log_payload_when_error`` mirrors the reference's LOG_PAYLOAD_WHEN_ERROR
+    flag (loggingHelpers.js:18): violation rows carry the full event as JSON.
+    ``log_valid_fields`` mirrors LOG_VALID_FIELDS (loggingHelpers.js:33-45):
+    rows with status='valid' are emitted for schema fields that produced no
+    violation on that document.
 
     Returns the manifest dict (run_id, per-bucket metrics, completed buckets).
     """
@@ -72,8 +80,11 @@ def run_validation(docs: DataFrame, rules: dict, out_dir: str,
             F.lit(str(b)).alias("partition_id"),
             F.lit(snapshot_id).alias("snapshot_id"),
         )
+        payload = (F.to_json(F.struct(*[c for c in docs.columns]))
+                   if log_payload_when_error else F.lit(None).cast("string"))
         violations = (
-            part.select("doc_id", F.explode("violations").alias("v"))
+            part.select("doc_id", F.explode("violations").alias("v"),
+                        payload.alias("event_data"))
             .select(
                 F.lit(event_name).alias("event_name"),
                 F.col("doc_id").alias("event_id"),
@@ -81,9 +92,37 @@ def run_validation(docs: DataFrame, rules: dict, out_dir: str,
                 F.current_timestamp().alias("timestamp"),
                 F.lit("error").alias("status"),
                 F.current_date().alias("date_utc"),
+                "event_data",
                 F.lit(str(b)).alias("partition_id"),
                 F.lit(snapshot_id).alias("snapshot_id"),
             ))
+        if log_valid_fields:
+            # per top-level rule key with no violation on this doc → 'valid' row
+            rule_keys = [k for k in rules if k != "version"]
+            keys_arr = F.array(*[F.lit(k) for k in rule_keys])
+            # nested paths (spans[0].kind) roll up to their top-level key
+            violated = F.transform(
+                F.col("violations"),
+                lambda v: F.regexp_extract(v["field"], r"^[^.\[]+", 0))
+            valid_rows = (
+                part.select(
+                    "doc_id",
+                    F.explode(F.array_except(keys_arr, violated)).alias("field"))
+                .select(
+                    F.lit(event_name).alias("event_name"),
+                    F.col("doc_id").alias("event_id"),
+                    "field",
+                    F.lit(None).cast("string").alias("error_type"),
+                    F.lit(None).cast("string").alias("expected"),
+                    F.lit(None).cast("string").alias("actual"),
+                    F.current_timestamp().alias("timestamp"),
+                    F.lit("valid").alias("status"),
+                    F.current_date().alias("date_utc"),
+                    F.lit(None).cast("string").alias("event_data"),
+                    F.lit(str(b)).alias("partition_id"),
+                    F.lit(snapshot_id).alias("snapshot_id"),
+                ))
+            violations = violations.unionByName(valid_rows)
         (violations.write.mode("overwrite")
          .parquet(os.path.join(out_dir, "violations", f"bucket={b}")))
         (verdicts.write.mode("overwrite")
