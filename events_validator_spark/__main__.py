@@ -1,0 +1,55 @@
+"""spark-submit entry point (north rule: launched via spark-submit --py-files).
+
+    python scripts/build_pyfiles.py                  # → dist/events_validator_spark.zip
+    spark-submit --py-files dist/events_validator_spark.zip \
+        --master <cluster> dist/run_validation.py --docs N --out DIR
+
+In the sandbox (no cluster manager) the same module runs directly:
+
+    python -m events_validator_spark --docs 100000 --out /tmp/run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="events_validator_spark")
+    ap.add_argument("--docs", type=int, default=100_000,
+                    help="synthetic interleaved-doc count (deterministic)")
+    ap.add_argument("--out", required=True, help="output dir for the run")
+    ap.add_argument("--buckets", type=int, default=8)
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--cores", type=int, default=None,
+                    help="local[] cores (ignored under a real cluster master)")
+    ap.add_argument("--log-payload", action="store_true")
+    ap.add_argument("--log-valid-fields", action="store_true")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    active = SparkSession.getActiveSession()
+    if active is not None:  # under spark-submit the session/master is given
+        spark = active
+    else:
+        from events_validator_spark.session import get_spark
+        spark = get_spark(app_name="events-validator-run", cores=args.cores)
+    spark.sparkContext.setLogLevel("WARN")
+
+    from events_validator_spark.plans.pipeline import run_validation
+    from events_validator_spark.sources.synthetic import DOC_RULES, interleaved_docs
+
+    docs = interleaved_docs(spark, args.docs)
+    manifest = run_validation(
+        docs, DOC_RULES, args.out, n_buckets=args.buckets,
+        run_id=args.run_id,
+        log_payload_when_error=args.log_payload,
+        log_valid_fields=args.log_valid_fields)
+    json.dump(manifest, sys.stdout)
+    print()
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,32 @@ def duplicate_rows(df: DataFrame, keys: list[str],
     return df.join(F.broadcast(dups), on=keys, how="inner")
 
 
+def salted_collect(df: DataFrame, keys: list[str], payload_col: str,
+                   n_salts: int = 32) -> DataFrame:
+    """Skew-safe ``groupBy(keys).collect_list(payload)``.
+
+    collect_list has no map-side combine: with a hot key, ONE reducer
+    receives every duplicate row's payload (the synthetic table routes 5% of
+    all rows to ``doc_hot``). Phase 1 collects per (key, salt) — the hot key
+    spreads over ``n_salts`` reducers — phase 2 flattens the per-salt pieces,
+    shuffling pre-compacted arrays instead of raw rows.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                  F.lit(n_salts)).alias("__salt")
+    phase1 = (df.select(*keys, F.col(payload_col), salt)
+              .groupBy(*keys, "__salt")
+              .agg(F.collect_list(payload_col).alias("__part")))
+    return (phase1.groupBy(*keys)
+            .agg(F.flatten(F.collect_list("__part")).alias(f"{payload_col}s")))
+
+
+def naive_collect(df: DataFrame, keys: list[str],
+                  payload_col: str) -> DataFrame:
+    """The skew-prone baseline (for the skew benchmark — do not use at scale)."""
+    return (df.groupBy(*keys)
+            .agg(F.collect_list(payload_col).alias(f"{payload_col}s")))
+
+
 def uniqueness_violations(df: DataFrame, keys: list[str],
                           n_salts: int = 32) -> DataFrame:
     """Duplicate keys in the engine's violation-row shape (error_type='unique')."""

@@ -33,6 +33,49 @@ def streaming_verdict_counts(validated: DataFrame, ts_col: str = "ts",
                  F.sum((F.size("violations") > 0).cast("long")).alias("failed")))
 
 
+def streaming_dedup(stream_df: DataFrame, key_col: str,
+                    out_schema: str) -> DataFrame:
+    """Stateful exactly-first streaming dedup via ``applyInPandasWithState``.
+
+    Keeps one boolean per key in the state store; only a key's first-ever row
+    is emitted. This is the custom-stateful-operator pattern
+    (SURVEY.md §2.7): the same engine that validates batches can deduplicate
+    an unbounded stream with bounded per-key state.
+    """
+    import pandas as pd  # noqa: F401 (executor-side)
+
+    def dedup_fn(key, pdf_iter, state):
+        if state.exists:
+            return
+        first = None
+        for pdf in pdf_iter:
+            if len(pdf) and first is None:
+                first = pdf.iloc[[0]]
+        state.update((True,))
+        if first is not None:
+            yield first
+
+    return (stream_df.groupBy(key_col)
+            .applyInPandasWithState(
+                dedup_fn, out_schema, "seen boolean",
+                "append", "NoTimeout"))
+
+
+def run_dedup_stream_to_memory(spark: SparkSession, source_dir: str, schema,
+                               key_col: str,
+                               query_name: str = "dedup_stream") -> DataFrame:
+    """Drive the stateful dedup over a parquet-dir stream to completion."""
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in schema.fields)
+    deduped = streaming_dedup(src, key_col, out_schema)
+    q = (deduped.writeStream.format("memory").queryName(query_name)
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_stream_to_memory(spark: SparkSession, source_dir: str, schema,
                          rules: dict, query_name: str = "verdicts_stream",
                          ts_col: str | None = None) -> DataFrame:

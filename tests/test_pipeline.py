@@ -50,6 +50,20 @@ def test_run_validation_and_resume(spark, tmp_path):
         verd.select("doc_id").distinct().count()
 
 
+def test_lakehouse_snapshots(spark, tmp_path):
+    from events_validator_spark.sources.catalog import Lakehouse
+    lh = Lakehouse(spark, str(tmp_path / "lh"))
+    s1 = lh.append("t", spark.range(5))
+    s2 = lh.append("t", spark.range(5, 12))
+    assert lh.read("t").count() == 12
+    assert lh.read("t", as_of=s1).count() == 5          # time travel
+    assert lh.current_snapshot("t") == s2
+    assert [s["snapshot_id"] for s in lh.snapshots("t")] == [s1, s2]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        lh.read("missing")
+
+
 def test_multimodal_plumbing(spark):
     from events_validator_spark.sources.synthetic import media_catalog
     cat = media_catalog(spark, 50)
@@ -69,6 +83,32 @@ def test_multimodal_plumbing(spark):
         with_payload, mime_col="mime", feature_dim=8).collect()
     assert {f["media_ref"]: list(f["feature"]) for f in feats} == \
         {f["media_ref"]: list(f["feature"]) for f in again}
+
+
+def test_salted_collect_matches_naive(spark):
+    from events_validator_spark.operators.uniqueness import (
+        naive_collect, salted_collect,
+    )
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 4), ("c", 5), ("c", 6)],
+        ["k", "v"])
+    naive = {r["k"]: sorted(r["vs"])
+             for r in naive_collect(df, ["k"], "v").collect()}
+    salted = {r["k"]: sorted(r["vs"])
+              for r in salted_collect(df, ["k"], "v", n_salts=4).collect()}
+    assert naive == salted == {"a": [1, 2, 3], "b": [4], "c": [5, 6]}
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    from events_validator_spark.streaming.stream import run_dedup_stream_to_memory
+    src = str(tmp_path / "dedup_src")
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("c", 4), ("b", 5)], ["doc_id", "v"])
+    df.repartition(3).write.parquet(src)
+    out = run_dedup_stream_to_memory(spark, src, df.schema, "doc_id",
+                                     query_name="t_dedup")
+    rows = out.collect()
+    assert sorted(r["doc_id"] for r in rows) == ["a", "b", "c"]
 
 
 def test_streaming_validation(spark, tmp_path):
