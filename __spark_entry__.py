@@ -207,7 +207,84 @@ def q_drift2_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.ks_two_sample(ev, "value", F.dayofmonth("ts") >= 16)
 
 
+def q_a3_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = analytics.membership_filter(ev, "event_type", ["error", "signup"])
+    return out.select("event_id", "event_type", "user_id")
+
+
+def q_t5_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(text.bpe_ish_tokens(F.col("text"))).alias("n_bpe"))
+
+
+def q_s3_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from events_validator_spark.operators.stats import histogram
+    ev = _t(spark, sf_dir, "events")
+    return (histogram(ev, "value", nbins=10, lo=0.0, hi=500.0)
+            .orderBy("bucket"))
+
+
+def q_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .where(F.col("r_name").isin("ASIA", "EUROPE"))
+            .groupBy("r_name", "n_name")
+            .agg(F.sum(price * (F.lit(1) - disc)).cast("double")
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy("r_name", "n_name"))
+
+
+def q_w1_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("o_totalprice"), "rank"))
+
+
+def q_g1_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+                 .cast("double").alias("qty"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_set1_inactive_small_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    ev = _t(spark, sf_dir, "events")
+    active = ev.select(F.col("user_id").alias("c_custkey")).distinct()
+    return (cust.select(F.col("c_custkey").cast("long").alias("c_custkey"))
+            .exceptAll(active.where(F.col("c_custkey") < 200))
+            .orderBy("c_custkey"))
+
+
 # --- non-SQL-expressible (rows-only checks; semantics pinned in tests/) ----
+
+
+def q_t6_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.rolling_hash_fingerprint(docs).select("doc_id", "rh")
+
+
+def q_ann3_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, threshold=0.5, dim=64,
+                                           n_planes=8)
+
 
 def q_m1_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -291,6 +368,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann2_lsh_topk": q_ann2_lsh_topk,
         "mm1_media_meta": q_mm1_media_meta,
         "drift3_tdigest_ks": q_drift3_tdigest_ks,
+        "a3_membership_filter": q_a3_membership_filter,
+        "t5_bpe_tokens": q_t5_bpe_tokens,
+        "s3_histogram_value": q_s3_histogram_value,
+        "q5_nation_revenue": q_q5_nation_revenue,
+        "w1_top_orders_per_customer": q_w1_top_orders_per_customer,
+        "g1_rollup_counts": q_g1_rollup_counts,
+        "set1_inactive_small_customers": q_set1_inactive_small_customers,
+        "t6_rolling_hash": q_t6_rolling_hash,
+        "ann3_cosine_neardup": q_ann3_cosine_neardup,
     }
 
 
@@ -535,7 +621,67 @@ def oracle_sql() -> dict[str, str]:
                                  - cb / GREATEST(nb, 1))), 8) AS ks
             FROM cum, tot
         """,
+        "a3_membership_filter": r"""
+            SELECT event_id, event_type, user_id FROM events
+            WHERE event_type IN ('error', 'signup')
+        """,
+        "t5_bpe_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                        text, '([A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+)', 1))
+                        AS INTEGER) AS n_bpe
+            FROM documents
+        """,
+        "s3_histogram_value": r"""
+            SELECT LEAST(GREATEST(CAST(floor(value / 50.0) AS INT), 0), 9)
+                     AS bucket,
+                   COUNT(*) AS cnt
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q5_nation_revenue": r"""
+            SELECT r_name, n_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                            (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                     AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name IN ('ASIA', 'EUROPE')
+            GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        "w1_top_orders_per_customer": r"""
+            WITH ranked AS (
+              SELECT o_custkey, o_orderkey,
+                     ROUND(o_totalprice, 2) AS o_totalprice,
+                     CAST(row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC)
+                       AS INTEGER) AS rank
+              FROM orders WHERE o_custkey < 100
+            )
+            SELECT * FROM ranked WHERE rank <= 3
+        """,
+        "g1_rollup_counts": r"""
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                     AS qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "set1_inactive_small_customers": r"""
+            SELECT c_custkey FROM (
+              SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer
+              WHERE c_custkey < 200
+              EXCEPT ALL
+              SELECT DISTINCT user_id FROM events WHERE user_id < 200
+            ) ORDER BY c_custkey
+        """,
         # m1/m2 (MinHash/SimHash LSH), ann2 (pandas-UDF LSH), mm1 (mapInPandas),
-        # drift3 (t-digest), validate_docs (synthetic input) — no SQL oracle;
-        # driver records rows-only; semantics pinned by tests/.
+        # drift3 (t-digest), t6 (xxhash64 rolling hash), ann3 (pandas-UDF LSH),
+        # validate_docs (synthetic input) — no SQL oracle; driver records
+        # rows-only; semantics pinned by tests/.
     }

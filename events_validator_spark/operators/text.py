@@ -87,10 +87,13 @@ def fingerprint(df: DataFrame, text_col: str = "text",
 
 def rolling_hash_fingerprint(df: DataFrame, text_col: str = "text",
                              out_col: str = "rh", base: int = 31,
-                             mod: int = (1 << 61) - 1) -> DataFrame:
+                             mod: int = (1 << 31) - 1) -> DataFrame:
     """Polynomial rolling hash over tokens (xxhash64 per token folded with a
     positional multiplier) — an order-sensitive content fingerprint that, unlike
-    md5, can be computed incrementally and compared per-prefix."""
+    md5, can be computed incrementally and compared per-prefix.
+
+    ``mod`` must satisfy ``mod * (base + 1) < 2^63`` — the fold stays in a
+    signed long under ANSI overflow checking (default: Mersenne 2^31-1)."""
     toks = tokens(F.col(text_col))
     h = F.aggregate(
         toks, F.lit(0).cast("long"),

@@ -64,6 +64,21 @@ def test_text_features(spark):
     assert fp[1] == hashlib.md5(b"the cat and the dog.").hexdigest()
 
 
+def test_bpe_tokens_and_rolling_hash(spark):
+    df = spark.createDataFrame(
+        [(1, "hello, world42!"), (2, "world42! hello,"), (3, "hello, world42!")],
+        ["doc_id", "text"])
+    bpe = {r["doc_id"]: r["t"] for r in df.select(
+        "doc_id", text.bpe_ish_tokens(__import__("pyspark.sql.functions",
+        fromlist=["col"]).col("text")).alias("t")).collect()}
+    assert bpe[1] == ["hello", ",", "world", "42", "!"]
+    rh = {r["doc_id"]: r["rh"]
+          for r in text.rolling_hash_fingerprint(df).collect()}
+    assert rh[1] == rh[3]          # identical text
+    assert rh[1] != rh[2]          # order-sensitive
+    assert 0 <= rh[1] < (1 << 31) - 1
+
+
 def test_exact_dedup(spark):
     df = spark.createDataFrame(
         [(1, "hello world"), (2, "Hello   WORLD"), (3, "different")],
