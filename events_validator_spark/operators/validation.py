@@ -507,11 +507,19 @@ def validate_json(df: DataFrame, rules: dict, json_col: str,
     """Validate a JSON-string column with full JS fidelity via VARIANT.
 
     The parsed VARIANT root is let_-bound: ``parse_json`` runs once per row,
-    however many fields the rule spec touches.
+    however many fields the rule spec touches. Malformed JSON does NOT abort
+    the job (one bad row must not kill a 10^12-row pass): such rows get a
+    single ``invalid_request`` violation — the reference 400s them
+    (validator_src/index.js:28-37).
     """
-    out = let_(F.parse_json(F.col(json_col)),
-               lambda v: compile_violations(rules, VariantAccessor(v)))
-    return df.withColumn(out_col, out)
+    parsed = F.try_parse_json(F.col(json_col))
+    out = let_(parsed, lambda v: compile_violations(rules, VariantAccessor(v)))
+    bad = F.col(json_col).isNotNull() & parsed.isNull()
+    return df.withColumn(
+        out_col,
+        F.when(bad, _one(F.lit("$"), "invalid_request",
+                         "well-formed JSON", "malformed JSON"))
+        .otherwise(out))
 
 
 def validate_multi(df: DataFrame, rules_by_name: dict[str, dict],

@@ -126,6 +126,19 @@ def test_typed_path_matches_oracle_on_interleaved_docs(spark):
     assert n_violating > 0
 
 
+def test_malformed_json_does_not_abort(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 1}'), (2, '{not json'), (3, None)], ["i", "props"])
+    rules = {"k": {"type": "number"}}
+    got = {r["i"]: [tuple(x) for x in r["violations"]]
+           for r in validate_json(df, rules, "props").collect()}
+    assert got[1] == []
+    assert got[2] == [("$", "invalid_request", "well-formed JSON",
+                       "malformed JSON")]
+    # NULL payload: no JSON at all → every required key is missing (JS: no body)
+    assert got[3] == [("k", "missing", "field present", "field missing")]
+
+
 def test_violation_content_examples(spark):
     events = [{"currency": "", "value": None,
                "items": ["s"], "tracking_id": "bad"}]
