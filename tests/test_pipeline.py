@@ -111,6 +111,33 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     assert sorted(r["doc_id"] for r in rows) == ["a", "b", "c"]
 
 
+def test_streaming_windowed_verdicts_with_watermark(spark, tmp_path):
+    from datetime import datetime
+    from events_validator_spark.streaming.stream import (
+        streaming_verdict_counts, validate_stream,
+    )
+    rules = {"kind": {"type": "string"}}
+    rows = [(datetime(2024, 1, 1, 0, 0, 30), "text"),
+            (datetime(2024, 1, 1, 0, 0, 40), None),      # fails (missing)
+            (datetime(2024, 1, 1, 0, 1, 10), "media"),
+            (datetime(2024, 1, 1, 0, 9, 0), "text")]
+    df = spark.createDataFrame(rows, "ts timestamp, kind string")
+    src = str(tmp_path / "wsrc")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = streaming_verdict_counts(validate_stream(stream, rules),
+                                   ts_col="ts", window="1 minute",
+                                   watermark="5 minutes")
+    q = (agg.writeStream.format("memory").queryName("t_windows")
+         .outputMode("append").start())
+    q.processAllAvailable(); q.stop()
+    out = {r["win"]["start"].minute: (r["docs"], r["failed"])
+           for r in spark.sql("SELECT * FROM t_windows").collect()}
+    # append mode emits only windows sealed by the watermark (max ts 00:09,
+    # watermark 5 min → windows ending ≤ 00:04 are final)
+    assert out == {0: (2, 1), 1: (1, 0)}
+
+
 def test_streaming_validation(spark, tmp_path):
     src = str(tmp_path / "stream_src")
     docs = interleaved_docs(spark, 300)
