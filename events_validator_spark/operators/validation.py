@@ -304,9 +304,16 @@ class _VariantBound(BoundField):
 
 
 def _bind_variant(v: Column, fn: Callable[[BoundField], Column]) -> Column:
-    """Bind the field's variant AND its schema_of_variant once per row."""
-    return let_(v, lambda bv: let_(
-        F.schema_of_variant(bv), lambda sv: fn(_VariantBound(bv, sv))))
+    """Hand the field's variant + schema to the per-key expression builder.
+
+    Deliberately NOT a let_ binding: wrapping in higher-order functions would
+    force the whole projection off whole-stage codegen into interpreted eval
+    (~2× slower here, measured); in codegen, runtime subexpression elimination
+    already evaluates the repeated ``variant_get``/``schema_of_variant`` trees
+    once per row. (let_ remains the right tool where the problem is PLAN-size
+    blowup, e.g. MinHash signatures — see operators/dedup.py.)
+    """
+    return fn(_VariantBound(v, F.schema_of_variant(v)))
 
 
 class VariantAccessor(Accessor):
@@ -506,14 +513,14 @@ def validate_json(df: DataFrame, rules: dict, json_col: str,
                   out_col: str = "violations") -> DataFrame:
     """Validate a JSON-string column with full JS fidelity via VARIANT.
 
-    The parsed VARIANT root is let_-bound: ``parse_json`` runs once per row,
-    however many fields the rule spec touches. Malformed JSON does NOT abort
-    the job (one bad row must not kill a 10^12-row pass): such rows get a
-    single ``invalid_request`` violation — the reference 400s them
+    ``try_parse_json`` appears once per field access but whole-stage codegen's
+    subexpression elimination evaluates it once per row. Malformed JSON does
+    NOT abort the job (one bad row must not kill a 10^12-row pass): such rows
+    get a single ``invalid_request`` violation — the reference 400s them
     (validator_src/index.js:28-37).
     """
     parsed = F.try_parse_json(F.col(json_col))
-    out = let_(parsed, lambda v: compile_violations(rules, VariantAccessor(v)))
+    out = compile_violations(rules, VariantAccessor(parsed))
     bad = F.col(json_col).isNotNull() & parsed.isNull()
     return df.withColumn(
         out_col,
