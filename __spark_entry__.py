@@ -286,6 +286,13 @@ def q_ann3_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            n_planes=8)
 
 
+def q_ann4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3)
+
+
 def q_m1_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_dedup(docs, threshold=0.8,
@@ -377,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set1_inactive_small_customers": q_set1_inactive_small_customers,
         "t6_rolling_hash": q_t6_rolling_hash,
         "ann3_cosine_neardup": q_ann3_cosine_neardup,
+        "ann4_ivf_topk": q_ann4_ivf_topk,
     }
 
 

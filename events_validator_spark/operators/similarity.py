@@ -95,6 +95,58 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     F.round("sim", 6).alias("sim")))
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_cells: int = 16, n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", seed: int = 42,
+             train_fraction: float = 1.0) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: MLlib KMeans coarse quantizer.
+
+    Train a KMeans codebook (on a sample at scale), assign every corpus vector
+    to its nearest centroid cell — ONE pass — then answer each query by
+    scanning only its ``n_probe`` closest cells. The corpus shuffles once on
+    the (small-cardinality) cell id; queries are tiny and resolved to probe
+    cells driver-side with numpy. Recall is tunable via n_probe.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    if train_fraction < 1.0:
+        feat = feat.sample(train_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feat)
+    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+
+    assigned = model.transform(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cvec"),
+                      array_to_vector(F.col(vec_col)).alias("features"))
+    ).select("neighbor_id", "__cvec", F.col("prediction").alias("cell"))
+
+    qrows = queries.select(F.col(query_id_col).alias("query_id"),
+                           F.col(vec_col).alias("__qvec")).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["__qvec"], dtype=np.float64)
+        d = ((centers - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:n_probe]:
+            probe_rows.append((r["query_id"], list(map(float, r["__qvec"])),
+                               int(cell)))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id long, __qvec array<float>, cell int")
+
+    sim = cosine(F.col("__qvec"), F.col("__cvec")).alias("sim")
+    scored = (assigned.join(F.broadcast(probes), "cell")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id", sim))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("sim", 6).alias("sim")))
+
+
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          dim: int = 64, n_planes: int = 10,

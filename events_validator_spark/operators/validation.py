@@ -567,6 +567,40 @@ def validate_multi(df: DataFrame, rules_by_name: dict[str, dict],
         .otherwise("valid"))
 
 
+def validate_multi_union(df: DataFrame, rules_by_name: dict[str, dict],
+                         name_col: str, json_col: str | None = None,
+                         out_col: str = "violations",
+                         status_col: str = "status") -> DataFrame:
+    """Union-of-partitions fallback for :func:`validate_multi`.
+
+    Semantically identical, but each event type validates in its own branch
+    of a UNION over type-filtered scans instead of one giant ``F.when`` chain
+    — the per-branch expression stays small, so this is the path for rule
+    corpora with hundreds+ of event types (SURVEY.md §7.3.6). Catalyst pushes
+    the type predicate into each scan; at most one branch matches per row.
+    """
+    parts = []
+    for name, rules in rules_by_name.items():
+        sub = df.where(F.col(name_col) == name)
+        if json_col is None:
+            out = validate_typed(sub, rules, out_col)
+        else:
+            out = validate_json(sub, rules, json_col, out_col)
+        parts.append(out)
+    unknown = df.where(
+        ~F.col(name_col).isin(list(rules_by_name)) | F.col(name_col).isNull()
+    ).withColumn(out_col, F.lit(None).cast(VIOLATION_ARRAY_DDL))
+    parts.append(unknown)
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res.withColumn(
+        status_col,
+        F.when(F.col(out_col).isNull(), "schema_not_found")
+        .when(F.size(out_col) > 0, "validation_failed")
+        .otherwise("valid"))
+
+
 def request_gate(df: DataFrame, name_col: str,
                  required_cols: list[str] | None = None) -> DataFrame:
     """Pre-flight gating (SURVEY.md §2.2 V13): the reference 400s requests with

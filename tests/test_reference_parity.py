@@ -59,6 +59,54 @@ def test_validate_multi_json_dispatch(spark):
             assert got[r["id"]][1] == expected
 
 
+def test_validate_multi_union_equivalent(spark):
+    from events_validator_spark.operators.validation import validate_multi_union
+    rows = [
+        (1, "purchase", '{"k": 5, "amount": 9.99}'),
+        (2, "purchase", '{"k": 5}'),
+        (3, "error", '{"k": 5}'),
+        (4, "click", '{}'),
+        (5, "unknown_type", '{"k": 1}'),
+        (6, None, '{"k": 1}'),
+    ]
+    df = spark.createDataFrame(rows, ["id", "event_type", "props"])
+    chain = validate_multi(df, RULES_BY_TYPE, "event_type", json_col="props")
+    union = validate_multi_union(df, RULES_BY_TYPE, "event_type",
+                                 json_col="props")
+    def norm(out):
+        return {r["id"]: (r["status"],
+                          None if r["violations"] is None
+                          else sorted(tuple(v) for v in r["violations"]))
+                for r in out.collect()}
+    assert norm(chain) == norm(union)
+    assert norm(union)[6][0] == "schema_not_found"
+
+
+def test_ivf_topk(spark):
+    import numpy as np
+    rng = np.random.default_rng(5)
+    # clustered corpus: 4 clusters of 40 vectors
+    centers = rng.standard_normal((4, 16)) * 5
+    vecs = np.vstack([c + rng.standard_normal((40, 16)) for c in centers])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    import pyspark.sql.functions as F
+    queries = (corpus.where(F.col("vec_id").isin([0, 45, 90]))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    from events_validator_spark.operators.similarity import brute_force_topk, ivf_topk
+    exact = brute_force_topk(corpus, queries, k=5)
+    approx = ivf_topk(corpus, queries, k=5, n_cells=4, n_probe=2)
+    def tops(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+    e, a = tops(exact), tops(approx)
+    # with clustered data and 2 probes, IVF recall should be high
+    recall = sum(len(e[q] & a[q]) for q in e) / sum(len(e[q]) for q in e)
+    assert recall >= 0.8, (recall, e, a)
+
+
 def test_request_gate(spark):
     df = spark.createDataFrame(
         [(1, "purchase", "x"), (2, None, "x"), (3, "  ", "x"), (4, "ok", None)],
