@@ -50,7 +50,11 @@ EVENTS_PROPS_RULES = {
 
 def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    out = validate_json(ev, EVENTS_PROPS_RULES, "props")
+    # the testdata file is a single parquet row group — unsplittable, so the
+    # scan is one task; a cheap repartition unlocks every core for the
+    # validation projection (real corpora have many files/row groups)
+    cores = spark.sparkContext.defaultParallelism
+    out = validate_json(ev.repartition(cores * 2), EVENTS_PROPS_RULES, "props")
     return explode_violations(out, ["event_id"])
 
 

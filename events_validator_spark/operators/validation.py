@@ -95,19 +95,53 @@ def _is_optional(rule: dict) -> bool:
 
 @dataclass
 class FieldView:
-    """Everything a check needs to know about one event field, as Columns."""
+    """Everything a check needs to know about one event field, as Columns.
+
+    Components are LAZY (see the typed/variant subclasses): a check that
+    never touches ``as_string`` (the big JS-toString when-chain with its
+    recursive array branch) keeps that whole tree out of the plan — smaller
+    analyzed plans and far less generated code to janino-compile.
+
+    ``str_value`` is the cheap raw-string accessor (NULL for non-strings):
+    all *emptiness* checks use it instead of the full toString coercion.
+    """
     present: Column          # JS hasOwnProperty
     typeof: Column           # plain JS typeof (arrays → 'object', null → 'object')
     actual: Column           # array-aware: Array.isArray ? 'array' : typeof
     is_null: Column          # value is JSON/typed null (only meaningful if present)
     as_string: Column        # JS v?.toString() (NULL for null)
     js_length: Column        # v.length — NULL when undefined (numbers, objects)
+    str_value: Column        # raw string value; NULL when not a string
+
+
+def _trimmed_empty(fv: "FieldView") -> Column:
+    """value is a string AND trims to '' — via the cheap raw-string accessor."""
+    return (fv.typeof == "string") & \
+        (F.trim(F.coalesce(fv.str_value, F.lit(""))) == "")
+
+
+class _LazyView(FieldView):
+    """FieldView whose components build on first use and are cached."""
+
+    _FIELDS = ("present", "typeof", "actual", "is_null", "as_string",
+               "js_length", "str_value")
+
+    def __init__(self):  # noqa: D401 - bypass dataclass init
+        object.__setattr__(self, "_cache", {})
+
+    def __getattribute__(self, name):
+        if name in _LazyView._FIELDS:
+            cache = object.__getattribute__(self, "_cache")
+            if name not in cache:
+                cache[name] = object.__getattribute__(self, "_mk_" + name)()
+            return cache[name]
+        return object.__getattribute__(self, name)
 
 
 def _absent_view() -> FieldView:
     return FieldView(
         F.lit(False), F.lit("undefined"), F.lit("undefined"), F.lit(False),
-        _null_str(), F.lit(None).cast("int"))
+        _null_str(), F.lit(None).cast("int"), _null_str())
 
 
 class BoundField:
@@ -139,26 +173,46 @@ class Accessor:
 # Typed (static-schema) accessor
 # ---------------------------------------------------------------------------
 
+class _TypedView(_LazyView):
+    def __init__(self, col: Column, dtype: T.DataType):
+        super().__init__()
+        self._col, self._dtype = col, dtype
+
+    def _mk_present(self):
+        return self._col.isNotNull()
+
+    def _mk_typeof(self):
+        return F.lit(static_js_typeof(self._dtype))
+
+    def _mk_actual(self):
+        return F.lit(static_js_actual(self._dtype))
+
+    def _mk_is_null(self):
+        return F.lit(False)
+
+    def _mk_as_string(self):
+        return js_to_string(self._col, self._dtype)
+
+    def _mk_str_value(self):
+        if isinstance(self._dtype, T.StringType):
+            return self._col
+        return _null_str()
+
+    def _mk_js_length(self):
+        if isinstance(self._dtype, T.StringType):
+            return F.length(self._col)
+        if isinstance(self._dtype, T.ArrayType):
+            return F.size(self._col)
+        return F.lit(None).cast("int")
+
+
 def _typed_view(col: Column, dtype: T.DataType) -> FieldView:
-    if isinstance(dtype, T.StringType):
-        length = F.length(col)
-    elif isinstance(dtype, T.ArrayType):
-        length = F.size(col)
-    else:
-        length = F.lit(None).cast("int")
-    return FieldView(
-        present=col.isNotNull(),
-        typeof=F.lit(static_js_typeof(dtype)),
-        actual=F.lit(static_js_actual(dtype)),
-        is_null=F.lit(False),
-        as_string=js_to_string(col, dtype),
-        js_length=length,
-    )
+    return _TypedView(col, dtype)
 
 
 class _TypedBound(BoundField):
     def __init__(self, col: Column, dtype: T.DataType):
-        super().__init__(_typed_view(col, dtype))
+        super().__init__(_TypedView(col, dtype))
         self._col, self._dtype = col, dtype
 
     def array_elements(self):
@@ -273,26 +327,47 @@ def _variant_to_string(v: Column, sv: Column | None = None,
     )
 
 
+class _VariantView(_LazyView):
+    def __init__(self, v: Column, sv: Column):
+        super().__init__()
+        self._v, self._sv = v, sv
+
+    def _mk_present(self):
+        return self._v.isNotNull()   # JSON null → VOID variant (still present)
+
+    def _mk_typeof(self):
+        return _variant_typeof(self._v, self._sv, array_aware=False)
+
+    def _mk_actual(self):
+        return _variant_typeof(self._v, self._sv, array_aware=True)
+
+    def _mk_is_null(self):
+        return self._sv == "VOID"
+
+    def _mk_as_string(self):
+        return _variant_to_string(self._v, self._sv)
+
+    def _mk_str_value(self):
+        return F.when(self._sv == "STRING",
+                      F.try_variant_get(self._v, "$", "string"))
+
+    def _mk_js_length(self):
+        return (
+            F.when(self._sv == "STRING",
+                   F.length(F.try_variant_get(self._v, "$", "string")))
+            .when(self._sv.startswith("ARRAY"),
+                  F.size(F.try_variant_get(self._v, "$", "array<variant>")))
+            .otherwise(F.lit(None).cast("int"))
+        )
+
+
 def _variant_view(v: Column, sv: Column) -> FieldView:
-    length = (
-        F.when(sv == "STRING", F.length(F.try_variant_get(v, "$", "string")))
-        .when(sv.startswith("ARRAY"),
-              F.size(F.try_variant_get(v, "$", "array<variant>")))
-        .otherwise(F.lit(None).cast("int"))
-    )
-    return FieldView(
-        present=v.isNotNull(),   # JSON null → VOID variant (still present)
-        typeof=_variant_typeof(v, sv, array_aware=False),
-        actual=_variant_typeof(v, sv, array_aware=True),
-        is_null=sv == "VOID",
-        as_string=_variant_to_string(v, sv),
-        js_length=length,
-    )
+    return _VariantView(v, sv)
 
 
 class _VariantBound(BoundField):
     def __init__(self, v: Column, sv: Column):
-        super().__init__(_variant_view(v, sv))
+        super().__init__(_VariantView(v, sv))
         self._v = v
 
     def array_elements(self):
@@ -399,8 +474,7 @@ def _per_key(bf: BoundField, rule: dict, path: Column) -> Column:
 
     # optional + (null | trimmed-empty string) → skip all checks (js:148-153)
     if optional:
-        skip = fv.is_null | ((fv.typeof == "string") &
-                             (F.trim(F.coalesce(fv.as_string, F.lit(""))) == ""))
+        skip = fv.is_null | _trimmed_empty(fv)
         return _gate(fv.present & ~skip, body)
     missing = _one(path, "missing", "field present", "field missing")
     return F.when(~fv.present, missing).otherwise(body)
@@ -418,10 +492,8 @@ def _check_type(rule: dict, bf: BoundField, path: Column,
             wrong = _gate(~fv.is_null, wrong)
             empty = _empty()
         else:
-            empty = _gate(
-                (fv.typeof == "string") &
-                (F.trim(F.coalesce(fv.as_string, F.lit(""))) == ""),
-                _one(path, "type", "non-empty string", "empty string"))
+            empty = _gate(_trimmed_empty(fv),
+                          _one(path, "type", "non-empty string", "empty string"))
         return _concat([wrong, empty])
 
     if expected == "array":  # js:33-51
@@ -485,8 +557,7 @@ def _check_enum(rule: dict, fv: FieldView, path: Column) -> Column:
 def _check_regex(rule: dict, fv: FieldView, path: Column) -> Column:
     pattern = rule["regex"]
     java_pat = js_regex_to_java(pattern)
-    empty = (fv.typeof == "string") & (F.trim(F.coalesce(fv.as_string, F.lit(""))) == "")
-    is_empty_value = empty | fv.is_null
+    is_empty_value = _trimmed_empty(fv) | fv.is_null
     coerced = F.coalesce(fv.as_string, F.lit("undefined"))  # String(undefined)
     no_match = ~coerced.rlike(java_pat)
     return (
