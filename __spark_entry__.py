@@ -285,9 +285,20 @@ def q_t6_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann3_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_neardup_pairs(emb, threshold=0.5, dim=64,
-                                           n_planes=8)
+    """Near-dup pairs over the embeddings table augmented with planted exact
+    duplicates (vec_id+1e6 copies) — random 64-dim vectors have cos ≪ 0.9, so
+    the planted pairs are exactly the expected output; identical vectors
+    collide in every LSH table, making the LSH output deterministic and
+    brute-force-oracle-comparable. Vectors are cast to double so Spark and
+    DuckDB accumulate identically."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    planted = (emb.where(F.col("vec_id") < 50)
+               .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                       "embedding"))
+    aug = emb.unionByName(planted)
+    return similarity.cosine_neardup_pairs(aug, threshold=0.9, dim=64,
+                                           n_planes=8, n_tables=8)
 
 
 def q_ann4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,7 +491,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "s1_lineitem_stats": r"""
             SELECT 'l_quantity' AS "column", COUNT(l_quantity) AS count,
-                   SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls,
+                   CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nulls,
                    CAST(MIN(l_quantity) AS DOUBLE) AS min,
                    CAST(MAX(l_quantity) AS DOUBLE) AS max,
                    COUNT(DISTINCT l_quantity) AS n_distinct,
@@ -488,7 +500,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             UNION ALL
             SELECT 'l_extendedprice', COUNT(l_extendedprice),
-                   SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
                    CAST(MIN(l_extendedprice) AS DOUBLE),
                    CAST(MAX(l_extendedprice) AS DOUBLE),
                    COUNT(DISTINCT l_extendedprice),
@@ -496,7 +509,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             UNION ALL
             SELECT 'l_discount', COUNT(l_discount),
-                   SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
                    CAST(MIN(l_discount) AS DOUBLE),
                    CAST(MAX(l_discount) AS DOUBLE),
                    COUNT(DISTINCT l_discount),
@@ -692,8 +706,57 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT user_id FROM events WHERE user_id < 200
             ) ORDER BY c_custkey
         """,
-        # m1/m2 (MinHash/SimHash LSH), ann2 (pandas-UDF LSH), mm1 (mapInPandas),
-        # drift3 (t-digest), t6 (xxhash64 rolling hash), ann3 (pandas-UDF LSH),
-        # validate_docs (synthetic input) — no SQL oracle; driver records
-        # rows-only; semantics pinned by tests/.
+        "m1_minhash_pairs": r"""
+            WITH sh AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [array_to_string(toks, ' ')] END) AS sh
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\s+')
+                             AS toks
+                    FROM documents)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(a.sh || b.sh)) >= 0.8
+        """,
+        "ann3_cosine_neardup": r"""
+            WITH aug AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+              FROM embeddings WHERE vec_id < 50
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 6)
+                     AS cos
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        """,
+        "t6_rolling_hash": r"""
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN 0 ELSE list_reduce(
+                     list_prepend(0::BIGINT,
+                       list_transform(range(1, length(text) + 1),
+                                      i -> ascii(substr(text, i, 1))::BIGINT)),
+                     (acc, c) -> (acc * 31 + c) % 2147483647)
+                   END AS rh
+            FROM documents
+        """,
+        "mm1_media_meta": r"""
+            SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+        # m2 (SimHash LSH — xxhash64 not in DuckDB), ann2/ann4 (approximate by
+        # design: probe-limited LSH / IVF recall < 1), drift3 (t-digest sketch),
+        # validate_docs (synthetic generated input, not an sf parquet table) —
+        # no SQL oracle; driver records rows-only; semantics pinned by tests/.
     }

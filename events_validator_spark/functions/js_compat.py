@@ -114,5 +114,39 @@ def js_regex_to_java(pattern: str) -> str:
     matching ``RegExp.test`` (validationHelpers.js:124). The one translation we do:
     JS allows a literal ``/`` escaped as ``\\/``; Java treats ``\\/`` as an error in
     some contexts — unescape it.
+
+    Accepted subset (validated by :func:`validate_java_regex` at rule-compile
+    time): everything legal in BOTH dialects. Known JS-only constructs that are
+    rejected rather than mistranslated: dangling ``{`` / lone ``]`` literals,
+    class range escapes like ``[a-\\d]``, ``\\cX`` control escapes beyond
+    [a-zA-Z], and ES2018 ``(?<name>…)`` uses the identical Java syntax so it
+    passes through.
     """
     return pattern.replace("\\/", "/")
+
+
+def validate_java_regex(pattern: str) -> str | None:
+    """Driver-side compile check for a translated pattern; None when OK.
+
+    Uses the real ``java.util.regex`` via the active session's JVM when
+    available (exactly what ``rlike`` will run), falling back to Python's
+    ``re`` (a close dialect) when no JVM is up.
+    """
+    try:
+        from pyspark.sql import SparkSession
+        s = SparkSession.getActiveSession()
+        jvm = getattr(s, "_jvm", None) if s is not None else None
+        if jvm is not None:
+            try:
+                jvm.java.util.regex.Pattern.compile(pattern)
+                return None
+            except Exception as e:  # py4j wraps PatternSyntaxException
+                return str(e).splitlines()[0][:200]
+    except Exception:
+        pass
+    import re
+    try:
+        re.compile(pattern)
+        return None
+    except re.error as e:
+        return str(e)

@@ -137,7 +137,10 @@ def _check_type(rule: dict, val: Any, path: str) -> list[Violation]:
         if nested:
             out: list[Violation] = []
             for i, item in enumerate(val):
-                wrapped = item if isinstance(item, dict) else {"": item}  # js:41-42
+                # js:41-45: wrap {'': item} only when typeof !== 'object' OR
+                # item is null; dicts AND lists recurse directly (typeof [] is
+                # 'object' — string-key lookups then miss every nested key)
+                wrapped = item if isinstance(item, (dict, list)) else {"": item}
                 out.extend(check_with_schema(nested, wrapped, f"{path}[{i}]"))
             return out
         return []
@@ -164,7 +167,12 @@ def _check_value(rule: dict, val: Any, path: str) -> list[Violation]:
 
 def _check_length(rule: dict, val: Any, path: str) -> list[Violation]:
     expected = int(rule["length"])  # parseInt, js:77
-    coerced = [] if val is None else val  # ?? [], js:78
+    # (v || []).length, js:78: EVERY JS-falsy value coerces to [] — null,
+    # false, 0, NaN ('' is falsy too, but its own length is already 0)
+    falsy = (val is None or val is False
+             or (isinstance(val, (int, float)) and not isinstance(val, bool)
+                 and (val == 0 or val != val)))
+    coerced = [] if falsy else val
     actual = len(coerced) if isinstance(coerced, (str, list)) else None  # undefined
     if actual != expected:
         return [(path, "length", str(expected), None if actual is None else str(actual))]

@@ -21,6 +21,34 @@ from events_validator_spark.operators.text import tokens
 
 
 # ---------------------------------------------------------------------------
+# Shared LSH bucketing machinery
+# ---------------------------------------------------------------------------
+
+def pairs_expr(items: Column) -> Column:
+    """All unordered pairs within an array → array<struct<a,b>> (in-array,
+    no join). Input arrays must already be capped — this is O(len²)."""
+    return F.flatten(F.transform(
+        items,
+        lambda a, i: F.transform(
+            F.slice(items, i + 2, F.greatest(F.size(items) - i - 1, F.lit(0))),
+            lambda b: F.struct(a.alias("a"), b.alias("b")))))
+
+
+def capped_buckets(df: DataFrame, keys: list[str], payload: Column,
+                   cap: int) -> DataFrame:
+    """groupBy(keys) → (keys…, items[≤cap], bucket_n) with deterministic
+    truncation (sort before slice). ``bucket_n`` carries the TRUE bucket size
+    so truncation is counted, never silent: ``where(bucket_n > cap)`` lists
+    the degenerate buckets (boilerplate/empty docs) that would otherwise emit
+    O(n²) pairs."""
+    return (df.groupBy(*keys)
+            .agg(F.slice(F.array_sort(F.collect_list(payload)), 1, cap)
+                 .alias("items"),
+                 F.count(F.lit(1)).alias("bucket_n"))
+            .where(F.size("items") > 1))
+
+
+# ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
 
@@ -93,21 +121,10 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     banded = (df.select(F.col(id_col).alias("id"),
                         F.explode(band_structs).alias("b"))
               .select("id", "b.band", "b.bh"))
-    buckets = (banded.groupBy("band", "bh")
-               .agg(F.slice(F.array_sort(F.collect_list("id")), 1, bucket_cap)
-                    .alias("ids"))
-               .where(F.size("ids") > 1))
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(F.transform(
-                F.col("ids"),
-                lambda a, i: F.transform(
-                    F.slice(F.col("ids"), i + 2,
-                            F.greatest(F.size("ids") - i - 1, F.lit(0))),
-                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b")))))
-        ).alias("p")
-    ).select("p.id_a", "p.id_b").distinct()
-    return pairs
+    buckets = capped_buckets(banded, ["band", "bh"], F.col("id"), bucket_cap)
+    return (buckets.select(F.explode(pairs_expr(F.col("items"))).alias("p"))
+            .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+            .distinct())
 
 
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
@@ -168,16 +185,19 @@ def simhash(col: Column, bits: int = 64) -> Column:
 
 def simhash_dedup_candidates(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id", bits: int = 64,
-                             n_tables: int = 4,
-                             max_hamming: int = 3) -> DataFrame:
+                             n_tables: int = 4, max_hamming: int = 3,
+                             bucket_cap: int = 256) -> DataFrame:
     """Near-dup pairs by SimHash with pigeonhole multi-table bucketing.
 
     The signature is split into ``n_tables`` equal chunks; docs are bucketed
     once per (table, chunk-value). Two signatures within hamming distance
     ``n_tables - 1`` MUST agree on at least one chunk (pigeonhole), so recall
-    is exact for ``max_hamming < n_tables``; pairs are then filtered by true
-    hamming distance. Shuffle volume: n_tables rows per doc, keyed by a
-    (table, 64/n_tables-bit) value — no all-pairs join anywhere.
+    is exact for ``max_hamming < n_tables`` — up to the ``bucket_cap``: a
+    bucket larger than the cap (degenerate corpora — empty/boilerplate docs
+    share a signature and would go quadratic) is deterministically truncated,
+    and the truncation is visible via :func:`capped_buckets`' ``bucket_n``.
+    Shuffle volume: n_tables rows per doc, keyed by a (table,
+    64/n_tables-bit) value — no all-pairs join anywhere.
     """
     chunk_bits = bits // n_tables
     mask = (1 << chunk_bits) - 1
@@ -190,13 +210,11 @@ def simhash_dedup_candidates(df: DataFrame, text_col: str = "text",
         for t in range(n_tables)])
     b = (sigs.select("id", "sig", F.explode(chunks).alias("c"))
          .select("id", "sig", "c.t", "c.chunk"))
-    a = b.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
-                 "t", "chunk")
-    c = b.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
-                 "t", "chunk")
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (a.join(c, ["t", "chunk"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", hamming.alias("hamming"))
-            .where(F.col("hamming") <= max_hamming)
+    buckets = capped_buckets(b, ["t", "chunk"],
+                             F.struct("id", "sig"), bucket_cap)
+    p = (buckets.select(F.explode(pairs_expr(F.col("items"))).alias("p"))
+         .select(F.col("p.a.id").alias("id_a"), F.col("p.b.id").alias("id_b"),
+                 F.bit_count(F.col("p.a.sig").bitwiseXOR(F.col("p.b.sig")))
+                 .alias("hamming")))
+    return (p.where(F.col("hamming") <= max_hamming)
             .distinct())

@@ -31,29 +31,65 @@ from events_validator_spark.operators.stats import group_histogram
 # ---------------------------------------------------------------------------
 
 def tdigest_udaf(delta: int = 100):
-    """GROUPED_AGG pandas UDAF: column values → serialized t-digest bytes."""
+    """GROUPED_AGG pandas UDAF: column values → serialized t-digest bytes.
+
+    NOTE: GROUPED_AGG pandas UDFs do NOT partially aggregate — Spark
+    materializes each group's full value series in one executor call. Never
+    apply this directly to a data-sized group at scale; use
+    :func:`grouped_digests`, which salts groups into bounded sub-groups first
+    and merges the sub-digests in a second (tiny) aggregation.
+    """
     @pandas_udf("binary")
     def agg(v: pd.Series) -> bytes:
         return TDigest.from_values(v.to_numpy(dtype=np.float64), delta).serialize()
     return agg
 
 
-def quantile_profile(df: DataFrame, column: str, group_col: str,
-                     qs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
-                     delta: int = 100) -> DataFrame:
-    """(grp, quantiles array) per group via the t-digest UDAF.
+def tdigest_merge_udaf(delta: int = 100):
+    """GROUPED_AGG pandas UDAF over serialized digests → one merged digest."""
+    @pandas_udf("binary")
+    def merge(blobs: pd.Series) -> bytes:
+        out = None
+        for b in blobs:
+            if b is None:
+                continue
+            d = TDigest.deserialize(bytes(b))
+            out = d if out is None else out.merge(d)
+        return (out if out is not None else TDigest(delta)).serialize()
+    return merge
 
-    Partial digests are built per Arrow batch on executors and merged by the
-    aggregation — constant memory per group regardless of group size.
+
+def grouped_digests(df: DataFrame, column: str, group_col: str,
+                    delta: int = 100, n_salts: int = 64) -> DataFrame:
+    """(grp, digest) with TRUE two-level mergeable aggregation.
+
+    Level 1 builds a digest per (group, value-hash salt) — each UDF call sees
+    at most ~group_size/n_salts values, so executor memory stays bounded no
+    matter how large a group is. Level 2 merges the ≤``n_salts`` sub-digests
+    per group (t-digest merge is associative). This is the 10^12-row quantile
+    path; raise ``n_salts`` until group_size/n_salts fits an Arrow batch.
     """
     agg = tdigest_udaf(delta)
-    spark = df.sparkSession
-    digests = (df.groupBy(F.col(group_col).alias("grp"))
-               .agg(agg(F.col(column).cast("double")).alias("digest")))
+    mrg = tdigest_merge_udaf(delta)
+    salt = F.pmod(F.xxhash64(F.col(column), F.lit(7)), F.lit(n_salts))
+    partial = (df.groupBy(F.col(group_col).alias("grp"), salt.alias("__salt"))
+               .agg(agg(F.col(column).cast("double")).alias("d")))
+    return partial.groupBy("grp").agg(mrg("d").alias("digest"))
+
+
+def quantile_profile(df: DataFrame, column: str, group_col: str,
+                     qs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+                     delta: int = 100, n_salts: int = 64) -> DataFrame:
+    """(grp, quantiles array) per group via the two-level t-digest path
+    (:func:`grouped_digests`): salted partial digests, then an associative
+    merge — executor memory is bounded by group_size/n_salts, not group size.
+    """
+    digests = grouped_digests(df, column, group_col, delta, n_salts)
 
     @pandas_udf("array<double>")
     def read_q(blobs: pd.Series) -> pd.Series:
-        return pd.Series([TDigest.deserialize(b).quantiles(qs) for b in blobs])
+        return pd.Series([TDigest.deserialize(bytes(b)).quantiles(qs)
+                          for b in blobs])
 
     return digests.select("grp", read_q("digest").alias("quantiles"))
 
@@ -104,40 +140,68 @@ def psi_two_cohorts(df: DataFrame, column: str, cohort: F.Column,
 #      and sketch-based compare via applyInPandas (scale path)
 # ---------------------------------------------------------------------------
 
-def ks_two_sample(df: DataFrame, column: str, cohort: F.Column) -> DataFrame:
-    """Exact two-sample KS statistic between cohort=True and cohort=False.
+def ks_two_sample(df: DataFrame, column: str, cohort: F.Column,
+                  n_partitions: int | None = None) -> DataFrame:
+    """Exact two-sample KS statistic between cohort=True and cohort=False,
+    fully distributed — NO single-partition sort over the data.
 
-    Window over a global sort — exact but single-reducer for the final max;
-    use :func:`ks_from_digests` at 10^12 scale. → one row {ks}.
+    Classic distributed prefix-sum shape:
+      1. groupBy(x) pre-aggregates ties → one row per distinct value;
+      2. ``repartitionByRange(x)`` range-partitions the distinct values, so
+         partition p holds a contiguous x-interval;
+      3. per-partition cumulative sums via a window partitioned by the range
+         partition id — every partition's window runs in parallel;
+      4. per-partition TOTALS (one row per partition) are prefix-summed in a
+         tiny single-partition window over ~``n_partitions`` rows and joined
+         back as offsets — the only serial step touches P rows, not data.
+    Catalyst's ReuseExchange evaluates the range shuffle once for both the
+    local-cumsum and totals branches. → one row {ks}, exact.
     """
     d = df.select(F.col(column).cast("double").alias("x"),
                   cohort.cast("int").alias("in_a"))
     d = d.where(F.col("x").isNotNull())
     # pre-aggregate ties: deterministic CDF regardless of row order, and the
-    # window input shrinks to the distinct-value count
+    # downstream input shrinks to the distinct-value count
     g = d.groupBy("x").agg(F.sum("in_a").alias("a"),
                            F.sum(1 - F.col("in_a")).alias("b"))
-    tot = g.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    cum = g.select(
-        (F.sum("a").over(w)).alias("ca"),
-        (F.sum("b").over(w)).alias("cb"))
-    cum = cum.crossJoin(F.broadcast(tot))
+    if n_partitions is None:
+        n_partitions = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+    r = (g.repartitionByRange(n_partitions, "x")
+         .withColumn("pid", F.spark_partition_id()))
+    wp = (Window.partitionBy("pid").orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    local = r.select("pid",
+                     F.sum("a").over(wp).alias("la"),
+                     F.sum("b").over(wp).alias("lb"))
+    totals = r.groupBy("pid").agg(F.sum("a").alias("ta"),
+                                  F.sum("b").alias("tb"))
+    wo = (Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "pid",
+        F.coalesce(F.sum("ta").over(wo), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("tb").over(wo), F.lit(0)).alias("ob"))
+    grand = totals.agg(F.sum("ta").alias("na"), F.sum("tb").alias("nb"))
+    cum = (local.join(F.broadcast(offsets), "pid")
+           .crossJoin(F.broadcast(grand)))
     return cum.agg(F.round(F.max(F.abs(
-        F.col("ca") / F.greatest(F.col("na"), F.lit(1)) -
-        F.col("cb") / F.greatest(F.col("nb"), F.lit(1)))), 8).alias("ks"))
+        (F.col("la") + F.col("oa")) / F.greatest(F.col("na"), F.lit(1)) -
+        (F.col("lb") + F.col("ob")) / F.greatest(F.col("nb"), F.lit(1)))),
+        8).alias("ks"))
 
 
 def ks_from_digests(df: DataFrame, column: str, group_col: str,
                     n_points: int = 200, delta: int = 200) -> DataFrame:
     """Approximate pairwise KS between all groups from t-digest profiles.
 
-    One scan builds a digest per group (mergeable UDAF); the tiny digest table
+    One scan builds a digest per group (two-level salted aggregation,
+    :func:`grouped_digests` — bounded executor memory); the tiny digest table
     is then compared in a single ``applyInPandas`` — CDFs are evaluated on a
     shared grid and the max gap taken. Output: (grp_a, grp_b, ks)."""
-    agg = tdigest_udaf(delta)
-    digests = (df.groupBy(F.col(group_col).cast("string").alias("grp"))
-               .agg(agg(F.col(column).cast("double")).alias("digest")))
+    digests = grouped_digests(
+        df.withColumn("__grp", F.col(group_col).cast("string")),
+        column, "__grp", delta=delta)
 
     def compare(pdf: pd.DataFrame) -> pd.DataFrame:
         items = [(r.grp, TDigest.deserialize(r.digest))

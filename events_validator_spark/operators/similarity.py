@@ -147,18 +147,49 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     F.round("sim", 6).alias("sim")))
 
 
-def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
+def hyperplane_signatures_udf(dim: int, n_planes: int, n_tables: int,
+                              seed: int = 42):
+    """Vectorized multi-table signatures: one Arrow-batched matmul produces
+    ``n_tables`` packed sign-bit signatures per vector (array<long>)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_tables * n_planes))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def sigs(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())                       # (batch, dim)
+        bits = (mat @ planes) > 0                           # (batch, T*P)
+        packed = bits.reshape(len(mat), n_tables, n_planes) @ weights
+        return pd.Series(list(packed.astype(np.int64)))
+    return sigs
+
+
+def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.9,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         dim: int = 64, n_planes: int = 10,
-                         seed: int = 42) -> DataFrame:
-    """Embedding near-duplicate pairs: LSH bucket self-join + cosine filter."""
-    sig = hyperplane_signature_udf(dim, n_planes, seed)
-    s = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                  sig(F.col(vec_col)).alias("__sig"))
-    a = s.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "__sig")
-    b = s.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "__sig")
-    return (a.join(b, "__sig")
-            .where(F.col("id_a") < F.col("id_b"))
+                         dim: int = 64, n_planes: int = 8, n_tables: int = 8,
+                         seed: int = 42, bucket_cap: int = 64) -> DataFrame:
+    """Embedding near-duplicate pairs → (id_a, id_b, cos ≥ threshold).
+
+    Multi-table hyperplane LSH: a pair at angle θ collides in one table with
+    p = (1 − θ/π)^n_planes and is missed by ALL tables with (1 − p)^n_tables —
+    identical vectors collide in EVERY table (recall 1.0 for exact dups).
+    Buckets are capped via :func:`~events_validator_spark.operators.dedup.
+    capped_buckets` (deterministic truncation, counted not silent), so a
+    degenerate corpus cannot go quadratic; candidates are exact-verified by
+    cosine with vectors fetched through two broadcast joins — never a corpus
+    self-join.
+    """
+    from events_validator_spark.operators.dedup import capped_buckets, pairs_expr
+    sig = hyperplane_signatures_udf(dim, n_planes, n_tables, seed)
+    s = df.select(F.col(id_col).alias("id"),
+                  F.posexplode(sig(F.col(vec_col))).alias("t", "sig"))
+    buckets = capped_buckets(s, ["t", "sig"], F.col("id"), bucket_cap)
+    pairs = (buckets.select(F.explode(pairs_expr(F.col("items"))).alias("p"))
+             .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+             .distinct())
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (F.broadcast(pairs).join(a, "id_a").join(b, "id_b")
             .select("id_a", "id_b",
                     F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
             .where(F.col("cos") >= threshold))

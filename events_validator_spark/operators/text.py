@@ -88,15 +88,20 @@ def fingerprint(df: DataFrame, text_col: str = "text",
 def rolling_hash_fingerprint(df: DataFrame, text_col: str = "text",
                              out_col: str = "rh", base: int = 31,
                              mod: int = (1 << 31) - 1) -> DataFrame:
-    """Polynomial rolling hash over tokens (xxhash64 per token folded with a
-    positional multiplier) — an order-sensitive content fingerprint that, unlike
-    md5, can be computed incrementally and compared per-prefix.
+    """Rabin-Karp polynomial rolling hash over characters — an order-sensitive
+    content fingerprint that, unlike md5, can be computed incrementally and
+    compared per-prefix: h = fold(c ∈ chars, (acc·base + codepoint(c)) % mod).
 
-    ``mod`` must satisfy ``mod * (base + 1) < 2^63`` — the fold stays in a
-    signed long under ANSI overflow checking (default: Mersenne 2^31-1)."""
-    toks = tokens(F.col(text_col))
-    h = F.aggregate(
-        toks, F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(acc * F.lit(base) + F.pmod(F.xxhash64(t), F.lit(mod)),
-                              F.lit(mod)))
-    return df.withColumn(out_col, h)
+    Uses only arithmetic + ``ascii``/``substr`` so the DuckDB oracle reproduces
+    it bit-for-bit (``list_reduce`` over the same fold). ``mod`` must satisfy
+    ``mod * base + 0x10FFFF < 2^63`` — the fold stays in a signed long under
+    ANSI overflow checking (default: Mersenne 2^31-1)."""
+    c = F.col(text_col)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.ascii(F.substr(c, i, F.lit(1))).cast("long"))
+    h = F.aggregate(codes, F.lit(0).cast("long"),
+                    lambda acc, x: F.pmod(acc * F.lit(base) + x, F.lit(mod)))
+    # sequence(1, 0) would run DESCENDING — guard the empty string explicitly
+    return df.withColumn(
+        out_col, F.when(F.length(c) == 0, F.lit(0).cast("long")).otherwise(h))

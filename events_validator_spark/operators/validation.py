@@ -42,10 +42,14 @@ from events_validator_spark.functions.js_compat import (
     py_js_to_string,
     static_js_actual,
     static_js_typeof,
+    validate_java_regex,
 )
 
 VIOLATION_STRUCT_DDL = "struct<field:string,error_type:string,expected:string,actual:string>"
 VIOLATION_ARRAY_DDL = f"array<{VIOLATION_STRUCT_DDL}>"
+
+_TYPED_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                  T.FloatType, T.DoubleType, T.DecimalType)
 
 
 def _null_str() -> Column:
@@ -112,6 +116,7 @@ class FieldView:
     as_string: Column        # JS v?.toString() (NULL for null)
     js_length: Column        # v.length — NULL when undefined (numbers, objects)
     str_value: Column        # raw string value; NULL when not a string
+    is_falsy: Column         # JS falsy non-null: false, 0, NaN ('' via str path)
 
 
 def _trimmed_empty(fv: "FieldView") -> Column:
@@ -124,7 +129,7 @@ class _LazyView(FieldView):
     """FieldView whose components build on first use and are cached."""
 
     _FIELDS = ("present", "typeof", "actual", "is_null", "as_string",
-               "js_length", "str_value")
+               "js_length", "str_value", "is_falsy")
 
     def __init__(self):  # noqa: D401 - bypass dataclass init
         object.__setattr__(self, "_cache", {})
@@ -141,7 +146,7 @@ class _LazyView(FieldView):
 def _absent_view() -> FieldView:
     return FieldView(
         F.lit(False), F.lit("undefined"), F.lit("undefined"), F.lit(False),
-        _null_str(), F.lit(None).cast("int"), _null_str())
+        _null_str(), F.lit(None).cast("int"), _null_str(), F.lit(False))
 
 
 class BoundField:
@@ -205,6 +210,16 @@ class _TypedView(_LazyView):
             return F.size(self._col)
         return F.lit(None).cast("int")
 
+    def _mk_is_falsy(self):
+        if isinstance(self._dtype, T.BooleanType):
+            return F.coalesce(~self._col, F.lit(False))
+        if isinstance(self._dtype, (T.FloatType, T.DoubleType)):
+            return F.coalesce((self._col == 0) | F.isnan(self._col),
+                              F.lit(False))
+        if isinstance(self._dtype, _TYPED_NUMERIC):
+            return F.coalesce(self._col == 0, F.lit(False))
+        return F.lit(False)
+
 
 def _typed_view(col: Column, dtype: T.DataType) -> FieldView:
     return _TypedView(col, dtype)
@@ -221,12 +236,22 @@ class _TypedBound(BoundField):
         elem_t = self._dtype.elementType
         if isinstance(elem_t, T.StructType):
             return self._col, lambda elem: TypedAccessor(elem, elem_t)
-        # scalar elements are wrapped {'': item} (js:41-42): only key '' resolves
+        if isinstance(elem_t, T.ArrayType):
+            # JS recurses DIRECTLY into array elements (typeof [] === 'object',
+            # js:41-45); string-key indexing into an array is undefined, so
+            # every nested key — including '' — reports missing
+            return self._col, lambda elem: _ABSENT_ACCESSOR
+        if isinstance(elem_t, T.MapType):
+            return self._col, lambda elem: _TypedMapAccessor(elem, elem_t)
+        # scalar (or null) elements are wrapped {'': item} (js:41-42):
+        # only key '' resolves
         return self._col, lambda elem: _TypedScalarWrap(elem, elem_t)
 
     def nested(self) -> "Accessor":
         if isinstance(self._dtype, T.StructType):
             return TypedAccessor(self._col, self._dtype)
+        if isinstance(self._dtype, T.MapType):
+            return _TypedMapAccessor(self._col, self._dtype)
         return _ABSENT_ACCESSOR
 
 
@@ -265,6 +290,19 @@ class _AbsentAccessor(Accessor):
 
 
 _ABSENT_ACCESSOR = _AbsentAccessor()
+
+
+class _TypedMapAccessor(Accessor):
+    """A typed map treated as a JS object: key lookup via ``element_at``;
+    a missing map key yields NULL, which the typed model maps to absent —
+    the same missing-vs-null divergence documented for struct fields."""
+
+    def __init__(self, col: Column, dtype: T.MapType):
+        self._col = col
+        self._vt = dtype.valueType
+
+    def with_field(self, key, fn):
+        return fn(_TypedBound(F.element_at(self._col, F.lit(key)), self._vt))
 
 
 class _TypedScalarWrap(Accessor):
@@ -359,6 +397,15 @@ class _VariantView(_LazyView):
                   F.size(F.try_variant_get(self._v, "$", "array<variant>")))
             .otherwise(F.lit(None).cast("int"))
         )
+
+    def _mk_is_falsy(self):
+        return F.coalesce(
+            F.when(self._sv == "BOOLEAN",
+                   ~F.try_variant_get(self._v, "$", "boolean"))
+            .when(self._sv.rlike(_NUMBER_TYPES_RE),
+                  F.try_variant_get(self._v, "$", "double") == 0)
+            .otherwise(F.lit(False)),
+            F.lit(False))
 
 
 def _variant_view(v: Column, sv: Column) -> FieldView:
@@ -536,8 +583,10 @@ def _check_value(rule: dict, fv: FieldView, path: Column) -> Column:
 
 def _check_length(rule: dict, fv: FieldView, path: Column) -> Column:
     expected = int(rule["length"])  # parseInt (js:77)
-    # (v ?? []).length: null → 0 via [] coercion; non-string/array → undefined
-    actual = F.when(fv.is_null, F.lit(0)).otherwise(fv.js_length)
+    # (v || []).length (js:78): EVERY falsy value coerces to [] — null, false,
+    # 0, NaN all report length 0 ('' is falsy too but its own length is 0);
+    # non-string/array truthy values have undefined length
+    actual = F.when(fv.is_null | fv.is_falsy, F.lit(0)).otherwise(fv.js_length)
     neq = actual.isNull() | (actual != F.lit(expected))
     return _gate(neq, _one(path, "length", str(expected), actual.cast("string")))
 
@@ -557,6 +606,14 @@ def _check_enum(rule: dict, fv: FieldView, path: Column) -> Column:
 def _check_regex(rule: dict, fv: FieldView, path: Column) -> Column:
     pattern = rule["regex"]
     java_pat = js_regex_to_java(pattern)
+    # fail at COMPILE time (driver), not per-row at runtime: one JS-legal but
+    # Java-illegal pattern in a rule spec must not kill a 10^12-row job mid-scan
+    err = validate_java_regex(java_pat)
+    if err is not None:
+        raise ValueError(
+            f"rule regex {pattern!r} does not compile as a Java regex "
+            f"({err}); rewrite it in the common JS/Java subset "
+            "(see functions/js_compat.js_regex_to_java)")
     is_empty_value = _trimmed_empty(fv) | fv.is_null
     coerced = F.coalesce(fv.as_string, F.lit("undefined"))  # String(undefined)
     no_match = ~coerced.rlike(java_pat)
@@ -628,9 +685,23 @@ def validate_multi(df: DataFrame, rules_by_name: dict[str, dict],
         acc = TypedAccessor(None, df.schema, root_df=df)
         out = df.withColumn(out_col, chain(lambda: acc))
     else:
-        bound = let_(F.parse_json(F.col(json_col)),
+        # try_parse_json, NOT parse_json: one malformed row must not kill a
+        # 10^12-row pass. A malformed payload with a KNOWN event name gets the
+        # same invalid_request violation as validate_json (the reference 400s
+        # that one request, index.js:28-37); unknown names keep NULL/
+        # schema_not_found — identical to validate_multi_union's per-branch
+        # validate_json behavior.
+        bound = let_(F.try_parse_json(F.col(json_col)),
                      lambda v: chain(lambda: VariantAccessor(v)))
-        out = df.withColumn(out_col, bound)
+        known = F.col(name_col).isin(list(rules_by_name))
+        bad = (F.col(json_col).isNotNull()
+               & F.try_parse_json(F.col(json_col)).isNull())
+        out = df.withColumn(
+            out_col,
+            F.when(known & bad,
+                   _one(F.lit("$"), "invalid_request",
+                        "well-formed JSON", "malformed JSON"))
+            .otherwise(bound))
     return out.withColumn(
         status_col,
         F.when(F.col(out_col).isNull(), "schema_not_found")

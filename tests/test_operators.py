@@ -144,3 +144,52 @@ def test_lsh_topk_runs_and_is_subset_quality(spark):
     got = similarity.lsh_topk(corpus, queries, k=3, dim=16, n_planes=6).collect()
     # the nearly-identical vector shares every hyperplane side → must be found
     assert got and got[0]["neighbor_id"] == 10
+
+
+def test_cosine_neardup_recall_on_planted_pairs(spark):
+    # planted near-duplicates (small rotation, cos > 0.97) must ALL be found
+    # by the multi-table LSH and verified by exact cosine; random pairs must
+    # not appear at threshold 0.9
+    import numpy as np
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16)).astype(np.float64)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    for i in range(10):  # ids 1000+i are near-dups of ids 0..9
+        noise = rng.standard_normal(16) * 0.05
+        w = base[i] + noise
+        rows.append((1000 + i, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.cosine_neardup_pairs(
+        df, threshold=0.9, dim=16, n_planes=6, n_tables=12).collect()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    expected = {(i, 1000 + i) for i in range(10)}
+    assert expected <= found
+    # exact-verification guarantees no false positives below threshold
+    assert all(r["cos"] >= 0.9 for r in got)
+
+
+def test_cosine_neardup_degenerate_corpus_bounded(spark):
+    # 1000 identical vectors share every LSH bucket: the cap must bound the
+    # candidate explosion (uncapped would be ~499,500 pairs per table)
+    df = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i + 1)) for i in range(8)]).alias("embedding"))
+    cap = 32
+    got = similarity.cosine_neardup_pairs(
+        df, threshold=0.9, dim=8, n_planes=4, n_tables=2, bucket_cap=cap)
+    n = got.count()
+    # per bucket at most cap*(cap-1)/2 pairs; 2 tables x 16 buckets max
+    assert 0 < n <= 2 * 16 * cap * (cap - 1) // 2
+
+
+def test_simhash_degenerate_corpus_bounded(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same words every time forever").alias("text"))
+    cap = 16
+    got = dedup.simhash_dedup_candidates(df, n_tables=4, max_hamming=3,
+                                         bucket_cap=cap)
+    n = got.count()
+    assert 0 < n <= cap * (cap - 1) // 2  # identical sigs -> same slice per table

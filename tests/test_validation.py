@@ -150,3 +150,85 @@ def test_violation_content_examples(spark):
     assert ("value", "type", "number", "object") in got
     assert ("tracking_id", "regex", "^trk_", "bad") in got
     assert ("items[0].q", "missing", "field present", "field missing") in got
+
+
+def test_length_falsy_coercion_variant(spark):
+    # JS (v || []).length (js:78): false/0/NaN coerce to [] -> length 0
+    rules = {"f": {"length": 0}}
+    events = [{"f": False}, {"f": 0}, {"f": 0.0}, {"f": True}, {"f": 5},
+              {"f": None}]
+    got = _spark_violations(spark, events, rules)
+    assert got[0] == got[1] == got[2] == got[5] == []
+    assert got[3] == [("f", "length", "0", None)]  # true.length === undefined
+    assert got[4] == [("f", "length", "0", None)]
+    for i, e in enumerate(events):
+        assert check_with_schema(rules, e) == got[i]
+    # non-zero expected length: falsy value reports actual 0
+    got2 = _spark_violations(spark, [{"f": False}], {"f": {"length": 2}})[0]
+    assert got2 == [("f", "length", "2", "0")]
+    assert check_with_schema({"f": {"length": 2}}, {"f": False}) == got2
+
+
+def test_length_falsy_coercion_typed(spark):
+    from events_validator_spark.operators.validation import validate_typed
+    df = spark.createDataFrame([(False, 0, 1)], "b boolean, n long, m long")
+    rules = {"b": {"length": 0}, "n": {"length": 0}, "m": {"length": 0}}
+    rows = validate_typed(df, rules).collect()[0]["violations"]
+    assert [tuple(x) for x in rows] == [("m", "length", "0", None)]
+
+
+def test_array_of_array_recurses_directly(spark):
+    # js:41-45: a list element is typeof 'object' -> direct recursion; every
+    # nested key (including '') is then missing. Scalars still get the wrap.
+    rules = {"items": {"type": "array",
+                       "nestedSchema": {"": {"type": "string"},
+                                        "k": {"type": "number"}}}}
+    event = {"items": [["x"], "s", {"": "y", "k": 1}]}
+    expected = [
+        ("items[0].", "missing", "field present", "field missing"),
+        ("items[0].k", "missing", "field present", "field missing"),
+        ("items[1].k", "missing", "field present", "field missing"),
+    ]
+    assert check_with_schema(rules, event) == expected
+    assert _spark_violations(spark, [event], rules)[0] == expected
+
+
+def test_array_of_array_typed_path(spark):
+    from events_validator_spark.operators.validation import validate_typed
+    df = spark.createDataFrame([([["x"], ["y"]],)], "items array<array<string>>")
+    rules = {"items": {"type": "array",
+                       "nestedSchema": {"": {"type": "string"}}}}
+    rows = validate_typed(df, rules).collect()[0]["violations"]
+    assert [tuple(x) for x in rows] == [
+        ("items[0].", "missing", "field present", "field missing"),
+        ("items[1].", "missing", "field present", "field missing"),
+    ]
+
+
+def test_validate_multi_malformed_json_chain_equals_union(spark):
+    from events_validator_spark.operators.validation import (
+        validate_multi, validate_multi_union,
+    )
+    rules_by = {"a": {"k": {"type": "number"}},
+                "b": {"k": {"type": "string"}}}
+    df = spark.createDataFrame(
+        [(1, "a", '{"k": 1}'), (2, "a", "{nope"), (3, "zz", "{nope"),
+         (4, "b", '{"k": 1}')],
+        ["i", "name", "props"])
+    for fn in (validate_multi, validate_multi_union):
+        out = {r["i"]: (r["status"],
+                        [tuple(x) for x in (r["violations"] or [])])
+               for r in fn(df, rules_by, "name", "props").collect()}
+        assert out[1] == ("valid", []), fn.__name__
+        assert out[2] == ("validation_failed",
+                          [("$", "invalid_request", "well-formed JSON",
+                            "malformed JSON")]), fn.__name__
+        assert out[3][0] == "schema_not_found", fn.__name__
+        assert out[4] == ("validation_failed",
+                          [("k", "type", "string", "number")]), fn.__name__
+
+
+def test_bad_regex_rejected_at_compile_time(spark):
+    df = spark.createDataFrame([(1, '{"k": "x"}')], ["i", "props"])
+    with pytest.raises(ValueError, match="does not compile"):
+        validate_json(df, {"k": {"regex": "[a-"}}, "props")
