@@ -16,11 +16,12 @@ snapshot ids — the API carries a ``snapshot_id`` everywhere so an Iceberg
 catalog can be swapped in). A re-run with the same run_id skips completed
 buckets — no duplicate rows, verified by tests/test_pipeline.py.
 
-Scale note: here the bucket is a hash of doc_id, so each bucket's filter
-rescans the source (acceptable in-sandbox; measured 59k docs/s end-to-end at
-6M docs). On a real partitioned/Iceberg table the bucket MUST be the
-partition column (e.g. date_utc) so every bucket scan partition-prunes to
-exactly its own files — resume granularity then costs zero redundant IO.
+Scale note: pass ``bucket_col`` (the table's partition column, e.g. date_utc)
+so every bucket scan partition-prunes to exactly its own files — resume
+granularity then costs zero redundant IO (PartitionFilters in the scan,
+verified by tests/test_pipeline.py). The hash-of-doc_id fallback
+(``bucket_col=None``) re-filters the full source per bucket — acceptable only
+for unpartitioned inputs.
 """
 
 from __future__ import annotations
@@ -46,9 +47,16 @@ def run_validation(docs: DataFrame, rules: dict, out_dir: str,
                    event_name: str = "interleaved_doc",
                    n_buckets: int = 8, run_id: str | None = None,
                    snapshot_id: str | None = None,
+                   bucket_col: str | None = None,
                    log_payload_when_error: bool = False,
                    log_valid_fields: bool = False) -> dict:
     """Validate ``docs`` bucket by bucket with manifest-based resume.
+
+    ``bucket_col``: name of the table's PARTITION column (e.g. date_utc) —
+    buckets are its distinct values and each bucket's scan partition-prunes
+    to its own files (the Iceberg-shaped resume unit). When None, buckets
+    fall back to ``pmod(xxhash64(doc_id), n_buckets)`` (full rescan per
+    bucket — unpartitioned inputs only).
 
     ``log_payload_when_error`` mirrors the reference's LOG_PAYLOAD_WHEN_ERROR
     flag (loggingHelpers.js:18): violation rows carry the full event as JSON.
@@ -63,20 +71,42 @@ def run_validation(docs: DataFrame, rules: dict, out_dir: str,
     snapshot_id = snapshot_id or "snap-" + run_id
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, f"manifest_{run_id}.json")
+
+    if bucket_col is None:
+        buckets = list(range(n_buckets))
+        validated = validate_typed(docs, rules).withColumn(
+            "__bucket", _bucket(F.col("doc_id"), n_buckets))
+
+        def bucket_filter(b):
+            return (F.col("__bucket") == b)
+    else:
+        # distinct partition values: on a partitioned source this is metadata
+        # listing, not a data scan. Manifest keys are string labels; the
+        # filter uses the NATIVE typed value so the comparison lands in the
+        # scan's PartitionFilters (a cast around the column would defeat
+        # pruning).
+        vals = {str(r[0]): r[0]
+                for r in docs.select(bucket_col).distinct().collect()}
+        buckets = sorted(vals)
+        validated = validate_typed(docs, rules)
+
+        def bucket_filter(b):
+            return (F.col(bucket_col) == F.lit(vals[b]))
+
     manifest = {"run_id": run_id, "snapshot_id": snapshot_id,
-                "n_buckets": n_buckets, "completed": [], "metrics": []}
+                "n_buckets": len(buckets), "bucket_col": bucket_col,
+                "completed": [], "metrics": []}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             manifest = json.load(f)
 
-    validated = validate_typed(docs, rules).withColumn(
-        "__bucket", _bucket(F.col("doc_id"), n_buckets))
-
-    for b in range(n_buckets):
+    for b in buckets:
         if b in manifest["completed"]:
             continue
         t0 = time.monotonic()
-        part = validated.where(F.col("__bucket") == b).drop("__bucket")
+        part = validated.where(bucket_filter(b))
+        if bucket_col is None:
+            part = part.drop("__bucket")
         part = part.cache()
         verdicts = part.select(
             "doc_id",
