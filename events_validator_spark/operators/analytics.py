@@ -57,3 +57,9 @@ def daily_error_rate(df: DataFrame, ts_col: str, id_col: str,
 def membership_filter(df: DataFrame, name_col: str, selected: list[str]) -> DataFrame:
     """A3: event_name ∈ selected."""
     return df.where(F.col(name_col).isin(selected))
+
+
+def report_date_label(col: Column) -> Column:
+    """F10: the dashboard's strftime('%b %d') axis label
+    (validation_report.py:138-139) — 'Jan 05' style, locale-stable."""
+    return F.date_format(col, "MMM dd")

@@ -1,0 +1,224 @@
+"""Schema ↔ parameter-repository synchronisation (SURVEY.md §3.3).
+
+Driver-side pure functions: rule specs and the parameter repository are tiny
+JSON documents, so none of this touches the cluster; the Spark-side relational
+view of the same comparison lives in :mod:`operators.rules_meta`.
+
+Reference semantics:
+  * definition construction — /root/reference/streamlit_ev/app/helpers/
+    updater.py:7-83 with the export-format key set of helpers.py:132-178
+    (type, description, coerced value, regex when non-empty, nestedSchema
+    for arrays);
+  * value coercion sentinels ('Any' / blank) — updater.py:23-26,
+    repo.py:24-42 (SURVEY §2.6 F8);
+  * health check — updater.py:151-217: unknown params are SKIPPED, type
+    mismatch is critical, description/value drift is minor, numeric values
+    compare float-tolerantly (0.0 == 0, SURVEY §2.6 F9), array nestedSchema
+    drift compares key set + per-key type/description;
+  * smart full update — updater.py:219-261: repo definition wins, but a
+    schema's pinned value survives when the type is unchanged (top-level and
+    nested);
+  * dry run — updater.py:95-118 as PINNED BY the reference's own unit test
+    (streamlit_ev/tests/test_updater.py:23-87): the rebuilt definition carries
+    the new regex AND preserves the schema's existing value when the type
+    matches. (The reference's code drops both — its test is the spec here.)
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import os
+from typing import Any
+
+RESERVED_KEYS = ("event_name", "version")
+_SENTINELS = ("Any", "")
+
+
+def coerce_value(raw: Any, typ: str) -> Any:
+    """'Any'/blank string sentinels → None; strings cast to the declared type
+    (updater.py:19-43). Non-strings pass through unchanged."""
+    if raw is None:
+        return None
+    if not isinstance(raw, str):
+        return raw
+    if raw.strip() == "" or raw == "Any":
+        return None
+    if typ == "number":
+        try:
+            return float(raw) if "." in raw else int(raw)
+        except ValueError:
+            return raw
+    if typ == "boolean":
+        low = raw.lower()
+        if low == "true":
+            return True
+        if low == "false":
+            return False
+        return None
+    return raw
+
+
+def construct_schema_definition(param: dict) -> dict:
+    """Repository parameter → export-format schema definition.
+
+    Key set follows the export pipeline (helpers.py:132-178): type,
+    description, coerced value (sentinels dropped), regex when non-empty,
+    and a nestedSchema built the same way for arrays.
+    """
+    def one(p: dict, allow_nested: bool) -> dict:
+        typ = p.get("type", "")
+        props: dict = {"type": typ, "description": p.get("description", "")}
+        val = coerce_value(p.get("value"), typ)
+        if val is not None:
+            props["value"] = val
+        if typ != "array" and p.get("regex") not in ("", None, []):
+            props["regex"] = p["regex"]
+        if allow_nested and typ == "array" and "nestedSchema" in p:
+            props["nestedSchema"] = {
+                nk: one(np, allow_nested=False)
+                for nk, np in p["nestedSchema"].items()
+            }
+        return props
+
+    return one(param, allow_nested=True)
+
+
+def find_impacted_schemas(param_name: str, repo: dict) -> list[str]:
+    """Reverse index lookup (updater.py:85-93): schemas using a param."""
+    return list(repo.get(param_name, {}).get("usedInSchemas", []))
+
+
+def _preserve_values(new_props: dict, old_props: dict) -> dict:
+    """Smart update (updater.py:239-249): keep the schema's pinned value when
+    the type is unchanged, top-level and per nested key."""
+    if old_props.get("type") == new_props.get("type"):
+        if "value" in old_props:
+            new_props["value"] = old_props["value"]
+        if new_props.get("type") == "array" and "nestedSchema" in new_props:
+            old_nested = old_props.get("nestedSchema", {})
+            for nk, nv in new_props["nestedSchema"].items():
+                old_nv = old_nested.get(nk)
+                if (old_nv and old_nv.get("type") == nv.get("type")
+                        and "value" in old_nv):
+                    nv["value"] = old_nv["value"]
+    return new_props
+
+
+def rebuild_schema_dry_run(schema: dict | None, param_name: str,
+                           new_param_data: dict) -> tuple[dict, dict]:
+    """Preview a single-parameter update → (original, rebuilt) schema dicts.
+
+    Pure function of the schema document (no storage IO — pair with
+    :func:`load_schema`/:func:`save_schema`). Semantics pinned by the
+    reference's unit test: the rebuilt definition carries the repo's new
+    attributes (description/regex/…) but PRESERVES the schema's existing
+    value when the type is unchanged (test_updater.py:47-57); on a type
+    change the repo's value wins (test_updater.py:77-87).
+    """
+    if not schema:
+        return {}, {}
+    new_schema = copy.deepcopy(schema)
+    if param_name in new_schema:
+        new_props = construct_schema_definition(new_param_data)
+        new_schema[param_name] = _preserve_values(
+            new_props, schema[param_name])
+    return schema, new_schema
+
+
+def check_schema_health(schema: dict, repo: dict) -> dict:
+    """Classify per-parameter drift → {'critical': [...], 'minor': [...]}.
+
+    Mirrors updater.py:151-217 exactly:
+      * reserved keys and params NOT in the repo are skipped;
+      * type mismatch → critical (stop there);
+      * description drift, value drift (with 'Any'/''/None normalised to
+        None and numbers compared as floats), or array nestedSchema drift
+        (key count, key set, per-key type/description) → minor.
+    """
+    health: dict = {"critical": [], "minor": []}
+    for name, schema_param in schema.items():
+        if name in RESERVED_KEYS or name not in repo:
+            continue
+        expected = construct_schema_definition(repo[name])
+        if schema_param.get("type") != expected.get("type"):
+            health["critical"].append(name)
+            continue
+        mismatch = (schema_param.get("description", "")
+                    != expected.get("description", ""))
+
+        s_val = schema_param.get("value")
+        e_val = expected.get("value")
+        s_val = None if s_val in _SENTINELS or s_val is None else s_val
+        e_val = None if e_val in _SENTINELS or e_val is None else e_val
+        if schema_param.get("type") == "number":
+            # float-tolerant numeric compare (0.0 == 0 == '0'), F9
+            try:
+                s_val = (float(s_val) if s_val is not None
+                         and str(s_val).strip() != "" else None)
+                e_val = (float(e_val) if e_val is not None
+                         and str(e_val).strip() != "" else None)
+            except (TypeError, ValueError):
+                pass
+        if s_val != e_val:
+            mismatch = True
+
+        if expected.get("type") == "array" and "nestedSchema" in expected:
+            cur_n = schema_param.get("nestedSchema", {})
+            exp_n = expected["nestedSchema"]
+            if len(cur_n) != len(exp_n):
+                mismatch = True
+            else:
+                for nk, ev in exp_n.items():
+                    cv = cur_n.get(nk)
+                    if (cv is None or cv.get("type") != ev.get("type")
+                            or cv.get("description", "")
+                            != ev.get("description", "")):
+                        mismatch = True
+                        break
+        if mismatch:
+            health["minor"].append(name)
+    return health
+
+
+def update_schema_full(schema: dict | None,
+                       repo: dict) -> tuple[dict, bool]:
+    """Sync every repo-known parameter of a schema to its repo definition,
+    preserving pinned values where types match (updater.py:219-261).
+
+    Pure: returns (new_schema, updates_made); the caller persists via
+    :func:`save_schema` (the reference uploads to GCS here).
+    """
+    if not schema:
+        return {}, False
+    new_schema = copy.deepcopy(schema)
+    updated = False
+    for name in list(new_schema.keys()):
+        if name in RESERVED_KEYS or name not in repo:
+            continue
+        new_props = construct_schema_definition(repo[name])
+        new_schema[name] = _preserve_values(new_props, schema[name])
+        updated = True
+    return new_schema, updated
+
+
+# ---------------------------------------------------------------------------
+# Storage round-trip (S8 — the reference's GCS upload sink, gcp.py:62-90)
+# ---------------------------------------------------------------------------
+
+def save_schema(schema: dict, dir_path: str, event_name: str) -> str:
+    """Write ``<event_name>.json`` atomically (tmp + rename); returns the
+    path. Pairs with rules_loader.load_rules/load_rules_dir for the full
+    write → list → load → compile round trip."""
+    os.makedirs(dir_path, exist_ok=True)
+    path = os.path.join(dir_path, f"{event_name}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(schema, f, indent=2, sort_keys=True)
+    os.replace(tmp, path)
+    return path
+
+
+def save_repo(repo: dict, dir_path: str) -> str:
+    """Write the parameter repository (repo.json), atomically."""
+    return save_schema(repo, dir_path, "repo")

@@ -16,15 +16,43 @@ import json
 import os
 
 
-def load_rules(path: str) -> dict | None:
+def normalize_rule_spec(rules: dict) -> dict:
+    """Rule normalization (SURVEY §2.6 F8): the reference UI writes 'Any' /
+    blank as "no pinned value" and may store numbers/booleans as strings
+    (repo.py:24-42, updater.py:19-43). Applied before compile: sentinel
+    values are DROPPED (a dropped key ≠ ``value: null``, which is a real JS
+    pin); typed strings are coerced so the value check compares like the
+    reference. Recurses into nestedSchema.
+    """
+    from events_validator_spark.operators.schema_sync import coerce_value
+    out: dict = {}
+    for key, rule in rules.items():
+        if not isinstance(rule, dict):
+            out[key] = rule
+            continue
+        r = dict(rule)
+        if "value" in r:
+            raw = r["value"]
+            if isinstance(raw, str) and (raw == "Any" or raw.strip() == ""):
+                r.pop("value")
+            else:
+                r["value"] = coerce_value(raw, r.get("type", ""))
+        if isinstance(r.get("nestedSchema"), dict):
+            r["nestedSchema"] = normalize_rule_spec(r["nestedSchema"])
+        out[key] = r
+    return out
+
+
+def load_rules(path: str, normalize: bool = False) -> dict | None:
     """One rule spec; missing file → None (the reference's 404 → null)."""
     if not os.path.exists(path):
         return None
     with open(path) as f:
-        return json.load(f)
+        rules = json.load(f)
+    return normalize_rule_spec(rules) if normalize else rules
 
 
-def load_rules_dir(dir_path: str) -> dict[str, dict]:
+def load_rules_dir(dir_path: str, normalize: bool = False) -> dict[str, dict]:
     """All ``*.json`` rule specs in a directory, keyed by event name
     (the file stem, exactly as the reference keys its bucket objects)."""
     out: dict[str, dict] = {}
@@ -33,7 +61,8 @@ def load_rules_dir(dir_path: str) -> dict[str, dict]:
         if name == "repo":  # the parameter repository is not an event schema
             continue
         with open(p) as f:
-            out[name] = json.load(f)
+            rules = json.load(f)
+        out[name] = normalize_rule_spec(rules) if normalize else rules
     return out
 
 

@@ -193,3 +193,12 @@ def test_simhash_degenerate_corpus_bounded(spark):
                                          bucket_cap=cap)
     n = got.count()
     assert 0 < n <= cap * (cap - 1) // 2  # identical sigs -> same slice per table
+
+
+def test_report_date_label(spark):
+    from events_validator_spark.operators.analytics import report_date_label
+    import datetime
+    df = spark.createDataFrame([(datetime.date(2024, 1, 5),),
+                                (datetime.date(2024, 11, 30),)], ["d"])
+    got = [r[0] for r in df.select(report_date_label(F.col("d"))).collect()]
+    assert got == ["Jan 05", "Nov 30"]

@@ -141,8 +141,41 @@ def test_rules_meta_joins(spark):
               for r in rules_meta.schema_health(s, p).collect()}
     assert health[("purchase", "currency")] == "ok"
     assert health[("purchase", "value")] == "critical"
-    assert health[("purchase", "rogue")] == "critical"
+    # reference parity (updater.py:164-165): unknown params are SKIPPED
+    assert ("purchase", "rogue") not in health
     assert health[("refund", "currency")] == "minor"
+
+
+def test_schema_health_reference_parity(spark):
+    """Pin the updater.py:151-217 parity points: sentinel/'Any'
+    normalisation, float-tolerant numeric compare, nestedSchema drift."""
+    repo = {
+        "price": {"type": "number", "description": "d", "value": "0.0"},
+        "note": {"type": "string", "description": "d", "value": "Any"},
+        "items": {"type": "array", "description": "d", "nestedSchema": {
+            "id": {"type": "string", "description": "x"},
+            "qty": {"type": "number", "description": "y"}}},
+        "tags": {"type": "array", "description": "d", "nestedSchema": {
+            "id": {"type": "string", "description": "x"}}},
+    }
+    schemas = {"ev": {
+        "price": {"type": "number", "description": "d", "value": 0},  # 0.0==0
+        "note": {"type": "string", "description": "d"},        # Any == absent
+        "items": {"type": "array", "description": "d", "nestedSchema": {
+            "id": {"type": "string", "description": "x"},
+            "qty": {"type": "string", "description": "y"}}},   # nested type
+        "tags": {"type": "array", "description": "d", "nestedSchema": {
+            "id": {"type": "string", "description": "x"},
+            "extra": {"type": "string", "description": ""}}},  # nested keyset
+    }}
+    p = rules_meta.params_table(spark, repo)
+    s = rules_meta.schemas_table(spark, schemas)
+    health = {r["param"]: (r["severity"], r["detail"])
+              for r in rules_meta.schema_health(s, p).collect()}
+    assert health["price"] == ("ok", "in sync")
+    assert health["note"] == ("ok", "in sync")
+    assert health["items"] == ("minor", "nestedSchema drift")
+    assert health["tags"] == ("minor", "nestedSchema drift")
 
 
 def test_pipeline_flags(spark, tmp_path):

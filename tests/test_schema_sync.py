@@ -1,0 +1,190 @@
+"""Schema-sync semantics vs the reference (updater.py / test_updater.py).
+
+The first two tests mirror streamlit_ev/tests/test_updater.py:14-87 case for
+case; the rest pin check_schema_health / update_schema_full / the storage
+round-trip (S8) and rule normalization (F8).
+"""
+
+import pytest
+
+from events_validator_spark.operators import schema_sync as ss
+from events_validator_spark.sources.rules_loader import (
+    load_rules, load_rules_dir, normalize_rule_spec,
+)
+
+
+def test_find_impacted_schemas():
+    repo = {"param1": {"usedInSchemas": ["s1.json", "s2.json"]}, "param2": {}}
+    assert ss.find_impacted_schemas("param1", repo) == ["s1.json", "s2.json"]
+    assert ss.find_impacted_schemas("param2", repo) == []
+    assert ss.find_impacted_schemas("missing", repo) == []
+
+
+def test_rebuild_schema_dry_run_simple():
+    # mirrors test_updater.py:23-57
+    schema = {
+        "event_name": {"value": "test"},
+        "version": {"value": 1},
+        "my_param": {"type": "string", "value": "initial",
+                     "description": "old desc", "regex": "old regex"},
+    }
+    new_param = {"type": "string", "description": "new desc",
+                 "regex": "new regex", "value": "repo default"}
+    orig, new = ss.rebuild_schema_dry_run(schema, "my_param", new_param)
+    assert new["my_param"]["description"] == "new desc"
+    assert new["my_param"]["regex"] == "new regex"
+    # value preserved because the type matched and it existed
+    assert new["my_param"]["value"] == "initial"
+    # deep copy: the original is untouched
+    assert orig["my_param"]["description"] == "old desc"
+
+
+def test_rebuild_schema_dry_run_type_change():
+    # mirrors test_updater.py:60-87
+    schema = {"my_param": {"type": "string", "value": "some string"}}
+    new_param = {"type": "number", "value": 42}
+    _, new = ss.rebuild_schema_dry_run(schema, "my_param", new_param)
+    assert new["my_param"]["type"] == "number"
+    # type changed -> old value NOT preserved; repo default wins
+    assert new["my_param"]["value"] == 42
+
+
+def test_rebuild_missing_schema():
+    assert ss.rebuild_schema_dry_run(None, "p", {}) == ({}, {})
+    assert ss.rebuild_schema_dry_run({}, "p", {}) == ({}, {})
+
+
+def test_construct_schema_definition_sentinels_and_casts():
+    assert ss.construct_schema_definition(
+        {"type": "number", "description": "d", "value": "42"}
+    ) == {"type": "number", "description": "d", "value": 42}
+    assert ss.construct_schema_definition(
+        {"type": "number", "description": "d", "value": "4.5"}
+    )["value"] == 4.5
+    # 'Any' / blank sentinel -> no value key at all
+    assert "value" not in ss.construct_schema_definition(
+        {"type": "string", "value": "Any"})
+    assert "value" not in ss.construct_schema_definition(
+        {"type": "string", "value": "   "})
+    assert ss.construct_schema_definition(
+        {"type": "boolean", "value": "True"})["value"] is True
+    # arrays: nestedSchema rebuilt with the same coercion
+    built = ss.construct_schema_definition(
+        {"type": "array", "nestedSchema": {
+            "qty": {"type": "number", "value": "3", "description": "q"}}})
+    assert built["nestedSchema"]["qty"] == {
+        "type": "number", "description": "q", "value": 3}
+
+
+def test_check_schema_health_mirrors_reference():
+    repo = {
+        "ok_p": {"type": "string", "description": "d", "value": "v"},
+        "crit_p": {"type": "number", "description": "d"},
+        "minor_desc": {"type": "string", "description": "new"},
+        "minor_val": {"type": "number", "description": "d", "value": "2"},
+        "tol_val": {"type": "number", "description": "d", "value": "0.0"},
+    }
+    schema = {
+        "event_name": {"value": "e"}, "version": {"value": 1},
+        "ok_p": {"type": "string", "description": "d", "value": "v"},
+        "crit_p": {"type": "string", "description": "d"},
+        "minor_desc": {"type": "string", "description": "old"},
+        "minor_val": {"type": "number", "description": "d", "value": 3},
+        "tol_val": {"type": "number", "description": "d", "value": 0},
+        "unknown_p": {"type": "string"},        # not in repo -> skipped
+    }
+    h = ss.check_schema_health(schema, repo)
+    assert h["critical"] == ["crit_p"]
+    assert sorted(h["minor"]) == ["minor_desc", "minor_val"]
+
+
+def test_check_schema_health_nested_drift():
+    repo = {"items": {"type": "array", "description": "d", "nestedSchema": {
+        "id": {"type": "string", "description": "x"},
+        "qty": {"type": "number", "description": "y"}}}}
+    in_sync = {"items": {"type": "array", "description": "d", "nestedSchema": {
+        "id": {"type": "string", "description": "x"},
+        "qty": {"type": "number", "description": "y"}}}}
+    assert ss.check_schema_health(in_sync, repo) == {
+        "critical": [], "minor": []}
+    for bad_nested in (
+        {"id": {"type": "string", "description": "x"}},               # count
+        {"id": {"type": "string", "description": "x"},
+         "QQ": {"type": "number", "description": "y"}},               # key set
+        {"id": {"type": "string", "description": "x"},
+         "qty": {"type": "string", "description": "y"}},              # type
+        {"id": {"type": "string", "description": "x"},
+         "qty": {"type": "number", "description": "CHANGED"}},        # desc
+    ):
+        drifted = {"items": {"type": "array", "description": "d",
+                             "nestedSchema": bad_nested}}
+        assert ss.check_schema_health(drifted, repo)["minor"] == ["items"]
+
+
+def test_update_schema_full_smart_preservation():
+    repo = {
+        "kept": {"type": "string", "description": "new d", "value": "repo v"},
+        "retyped": {"type": "number", "description": "d", "value": "7"},
+        "arr": {"type": "array", "description": "d", "nestedSchema": {
+            "q": {"type": "number", "description": "nd", "value": "1"}}},
+    }
+    schema = {
+        "version": {"value": 3},
+        "kept": {"type": "string", "description": "old d", "value": "mine"},
+        "retyped": {"type": "string", "value": "stale"},
+        "arr": {"type": "array", "description": "old", "nestedSchema": {
+            "q": {"type": "number", "description": "x", "value": 99}}},
+        "unknown": {"type": "string", "value": "untouched"},
+    }
+    new, updated = ss.update_schema_full(schema, repo)
+    assert updated
+    assert new["version"] == {"value": 3}                 # reserved untouched
+    assert new["unknown"] == {"type": "string", "value": "untouched"}
+    assert new["kept"]["description"] == "new d"
+    assert new["kept"]["value"] == "mine"                 # type match -> keep
+    assert new["retyped"]["type"] == "number"
+    assert new["retyped"]["value"] == 7                   # repo wins on retype
+    assert new["arr"]["nestedSchema"]["q"]["value"] == 99  # nested keep
+    assert new["arr"]["nestedSchema"]["q"]["description"] == "nd"
+
+    assert ss.update_schema_full(None, repo) == ({}, False)
+    assert ss.update_schema_full({"version": {"value": 1}}, repo)[1] is False
+
+
+def test_save_load_roundtrip_and_compile(tmp_path, spark):
+    """S8: write -> list -> load -> compile round trip."""
+    from events_validator_spark.operators.validation import validate_json
+    schema = {"k": {"type": "number"}, "u": {"type": "string",
+                                             "value": "Any"}}
+    d = str(tmp_path / "bucket")
+    p = ss.save_schema(schema, d, "my_event")
+    assert p.endswith("my_event.json")
+    ss.save_repo({"k": {"type": "number", "usedInSchemas": ["my_event"]}}, d)
+    loaded = load_rules_dir(d, normalize=True)
+    assert list(loaded) == ["my_event"]                  # repo.json excluded
+    assert "value" not in loaded["my_event"]["u"]        # F8 sentinel dropped
+    df = spark.createDataFrame([(1, '{"k": "oops"}')], ["i", "props"])
+    out = validate_json(df, loaded["my_event"], "props").collect()[0]
+    kinds = {tuple(v)[:2] for v in out["violations"]}
+    assert ("k", "type") in kinds and ("u", "missing") in kinds
+    assert load_rules(str(tmp_path / "nope.json")) is None
+
+
+def test_normalize_rule_spec_f8():
+    rules = {
+        "a": {"type": "number", "value": "42"},
+        "b": {"type": "number", "value": "4.5"},
+        "c": {"type": "string", "value": "Any"},
+        "d": {"type": "boolean", "value": "true"},
+        "e": {"type": "string", "value": None},      # real JS null pin: kept
+        "arr": {"type": "array", "nestedSchema": {
+            "q": {"type": "number", "value": "7"}}},
+        "version": 2,
+    }
+    n = normalize_rule_spec(rules)
+    assert n["a"]["value"] == 42 and n["b"]["value"] == 4.5
+    assert "value" not in n["c"]
+    assert n["d"]["value"] is True
+    assert "value" in n["e"] and n["e"]["value"] is None
+    assert n["arr"]["nestedSchema"]["q"]["value"] == 7
+    assert n["version"] == 2
