@@ -48,14 +48,65 @@ def static_js_typeof(dtype: T.DataType) -> str:
 # JS toString for typed columns
 # ---------------------------------------------------------------------------
 
+def _shortest_sci_repr(a: Column) -> Column:
+    """Shortest scientific representation of a non-negative finite double:
+    the first ``%.pe`` (p = 0..16) that round-trips back to the exact value.
+
+    This sidesteps Java ≤18's non-shortest ``Double.toString``
+    (JDK-4511638: 2.5e22 prints as 2.4999999999999998E22) — the round-trip
+    search yields the same shortest digits ECMAScript (and Python repr)
+    produce, with matching tie behavior (round-half-even ↔ the spec's
+    "choose even"). 17 significant digits always round-trip, so the
+    fallback is unreachable.
+    """
+    # array+filter keeps the expression tree compact (each format_string
+    # appears once; a 17-branch when-chain would repeat it per branch and
+    # blow up plan size — measured 7x slower analysis on rule corpora)
+    cands = F.array(*[F.format_string(f"%.{p}e", a) for p in range(17)])
+    hits = F.filter(cands, lambda r: r.try_cast("double") == a)
+    return F.coalesce(F.get(hits, 0), F.format_string("%.16e", a))
+
+
 def js_number_to_string(col: Column) -> Column:
-    """JS ``String(number)``: integral doubles drop the decimal (1.0 → '1')."""
+    """JS ``String(number)`` — exact over the full double range.
+
+    Integral |v| < 1e16 takes the cheap long-cast path; everything else is
+    rebuilt from (shortest digits, exponent) following Number::toString
+    (ECMA-262 §6.1.6.1.20): decimal notation for -6 < k+1 ≤ 21, scientific
+    ``d.ddde±k`` outside, 'NaN'/'Infinity'/'0' (also for -0) specials.
+    """
     d = col.cast("double")
+    a = F.abs(d)
+    sign = F.when(d < 0, F.lit("-")).otherwise(F.lit(""))
+    rep = _shortest_sci_repr(a)
+    mant = F.substring_index(rep, "e", 1)
+    k = F.substring_index(rep, "e", -1).cast("int")
+    digits = F.regexp_replace(mant, r"\.", "")
+    n = k + F.lit(1)              # decimal-point position within the digits
+    L = F.length(digits)
+    intpad = F.concat(digits, F.repeat(F.lit("0"), (n - L).cast("int")))
+    point = F.concat(F.substr(digits, F.lit(1), n), F.lit("."),
+                     F.substr(digits, n + F.lit(1), L - n))
+    small = F.concat(F.lit("0."), F.repeat(F.lit("0"), (-n).cast("int")),
+                     digits)
+    mant_js = F.when(L == 1, digits).otherwise(F.concat(
+        F.substr(digits, F.lit(1), F.lit(1)), F.lit("."),
+        F.substr(digits, F.lit(2), L - F.lit(1))))
+    sci = F.concat(mant_js, F.lit("e"),
+                   F.when(n - 1 >= 0, F.lit("+")).otherwise(F.lit("-")),
+                   F.abs(n - F.lit(1)).cast("string"))
+    body = (F.when((L <= n) & (n <= F.lit(21)), intpad)
+            .when((F.lit(0) < n) & (n <= F.lit(21)), point)
+            .when((F.lit(-6) < n) & (n <= F.lit(0)), small)
+            .otherwise(sci))
     return (
         F.when(d.isNull(), F.lit(None).cast("string"))
-        .when((d == F.floor(d)) & (F.abs(d) < F.lit(1e16)),
+        .when(F.isnan(d), F.lit("NaN"))
+        .when(d == 0, F.lit("0"))
+        .when(a == F.lit(float("inf")), F.concat(sign, F.lit("Infinity")))
+        .when((d == F.floor(d)) & (a < F.lit(1e16)),
               d.cast("long").cast("string"))
-        .otherwise(d.cast("string"))
+        .otherwise(F.concat(sign, body))
     )
 
 
@@ -86,14 +137,61 @@ def js_to_string(col: Column, dtype: T.DataType, depth: int = 2) -> Column:
     return col.cast("string")
 
 
+def _py_digits_exp(a: float) -> tuple[str, int]:
+    """(shortest digits, power-of-ten exponent of the first digit) from
+    Python's repr — Python and ECMAScript share the shortest-round-trip
+    digit selection (same tie rule)."""
+    s = repr(a)
+    if "e" in s:
+        m, e = s.split("e")
+        digits = m.replace(".", "").rstrip("0") or "0"
+        return digits, int(e)
+    ip, _, fp = s.partition(".")
+    if ip == "0":
+        stripped = fp.lstrip("0")
+        return (stripped.rstrip("0") or "0"), -(len(fp) - len(stripped) + 1)
+    return ((ip + fp).rstrip("0") or "0"), len(ip) - 1
+
+
+def py_js_number_repr(v: float) -> str:
+    """JS ``String(number)`` in pure Python — the exact Number::toString
+    boundaries (decimal for -6 < k+1 ≤ 21, 'd.ddde±k' outside, NaN/Infinity,
+    -0 → '0'); mirrors :func:`js_number_to_string`."""
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "Infinity"
+    if v == float("-inf"):
+        return "-Infinity"
+    if v == 0:
+        return "0"
+    sign = "-" if v < 0 else ""
+    digits, k = _py_digits_exp(abs(v))
+    n, L = k + 1, len(digits)
+    if L <= n <= 21:
+        body = digits + "0" * (n - L)
+    elif 0 < n <= 21:
+        body = digits[:n] + "." + digits[n:]
+    elif -6 < n <= 0:
+        body = "0." + "0" * (-n) + digits
+    else:
+        mant = digits[0] + ("." + digits[1:] if L > 1 else "")
+        body = f"{mant}e{'+' if n - 1 >= 0 else '-'}{abs(n - 1)}"
+    return sign + body
+
+
 def py_js_to_string(v: object) -> str | None:
     """Driver-side JS toString for rule-spec literals (expected values)."""
     if v is None:
         return None
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, float):
-        return str(int(v)) if v == int(v) and abs(v) < 1e21 else repr(v)
+    if isinstance(v, (int, float)):
+        # JS numbers are doubles — large JSON ints print like 1e+22
+        try:
+            return py_js_number_repr(float(v))
+        except OverflowError:
+            return "Infinity" if v > 0 else "-Infinity"
     if isinstance(v, list):
         return ",".join(
             "" if x is None else (py_js_to_string(x) or "") for x in v)

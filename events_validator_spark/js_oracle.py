@@ -62,13 +62,19 @@ def js_actual(v: Any) -> str:
 
 
 def js_tostring(v: Any) -> str | None:
-    """JS ``v?.toString()`` — None for null/undefined (loggingHelpers.js:13-14)."""
+    """JS ``v?.toString()`` — None for null/undefined (loggingHelpers.js:13-14).
+
+    Number formatting delegates to the shared exact Number::toString
+    implementation (functions/js_compat.py_js_number_repr) — full double
+    range, including the e+21 / 1e-7 scientific boundaries.
+    """
     if v is None or v is _MISSING:
         return None
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, float):
-        return str(int(v)) if v == int(v) and abs(v) < 1e21 else repr(v)
+    if isinstance(v, (int, float)):
+        from events_validator_spark.functions.js_compat import py_js_number_repr
+        return py_js_number_repr(float(v))
     if isinstance(v, list):
         return ",".join("" if x is None else (js_tostring(x) or "") for x in v)
     if isinstance(v, dict):
@@ -183,7 +189,11 @@ def _check_regex(rule: dict, val: Any, path: str) -> list[Violation]:
     pattern = rule["regex"]  # js:113-127
     if (isinstance(val, str) and val.strip() == "") or val is None:
         return [(path, "regex", pattern, "empty_value")]
-    coerced = val if isinstance(val, str) else (js_tostring(val) or "undefined")
+    # String(actual) coercion (js:124): only a true undefined becomes
+    # 'undefined' — an empty toString (e.g. String([]) === '') stays ''
+    coerced = val if isinstance(val, str) else js_tostring(val)
+    if coerced is None:
+        coerced = "undefined"
     if re.search(pattern, coerced) is None:
         return [(path, "regex", pattern, js_tostring(val))]
     return []

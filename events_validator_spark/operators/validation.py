@@ -37,6 +37,7 @@ from pyspark.sql import types as T
 
 from events_validator_spark.functions.exprs import let_
 from events_validator_spark.functions.js_compat import (
+    js_number_to_string,
     js_regex_to_java,
     js_to_string,
     py_js_to_string,
@@ -344,8 +345,7 @@ def _variant_to_string(v: Column, sv: Column | None = None,
     if sv is None:
         sv = F.schema_of_variant(v)
     num = F.try_variant_get(v, "$", "double")
-    num_s = F.when((num == F.floor(num)) & (F.abs(num) < F.lit(1e16)),
-                   num.cast("long").cast("string")).otherwise(num.cast("string"))
+    num_s = js_number_to_string(num)  # exact Number::toString, full range
     if depth <= 0:
         arr_s = F.lit("")
     else:
@@ -450,6 +450,82 @@ class VariantAccessor(Accessor):
 
     def with_field(self, key, fn):
         return _bind_variant(self._get(key), fn)
+
+
+class _PreboundBound(_VariantBound):
+    """A variant-bound field whose JS-toString was pre-projected in stage 1:
+    ``as_string`` reads the tiny string column instead of re-embedding the
+    (large) exact Number::toString tree per event type."""
+
+    def __init__(self, v: Column, sv: Column, s: Column):
+        super().__init__(v, sv)
+        cache = object.__getattribute__(self.view, "_cache")
+        cache["as_string"] = s
+
+
+class PreboundVariantAccessor(Accessor):
+    """Variant accessor over PRE-PROJECTED per-field structs.
+
+    The staged path of :func:`validate_multi` materializes, ONCE per distinct
+    top-level field across the whole corpus: the field's variant value, its
+    ``schema_of_variant``, and — for fields any rule set value/regex/enum-
+    checks — its JS toString. Per-type checks then reference the small struct
+    column instead of inlining the ``try_parse_json``/``try_variant_get``/
+    Number::toString trees per event type: plan size (and with it analysis,
+    optimization, and janino compile time) stops scaling with
+    #types × #fields. CollapseProject cannot merge the stages back: the
+    producer expressions are non-cheap and multiply referenced.
+    """
+
+    def __init__(self, cols: dict[str, Column]):
+        self._cols = cols
+        self._bound: dict[str, BoundField] = {}
+
+    _string_keys: frozenset = frozenset()
+
+    def with_field(self, key, fn):
+        # memoized per key: all event types share ONE BoundField, so lazy
+        # FieldView columns are built once per field, not per (type, field) —
+        # py4j tree-build cost is part of the fresh-plan bottleneck
+        bf = self._bound.get(key)
+        if bf is None:
+            s = self._cols.get(key)
+            if s is None:
+                bf = BoundField(_absent_view())
+            elif key in self._string_keys:
+                bf = _PreboundBound(s["v"], s["sv"], s["s"])
+            else:
+                bf = _VariantBound(s["v"], s["sv"])
+            self._bound[key] = bf
+        return fn(bf)
+
+
+def prebind_fields(df: DataFrame, json_col: str, keys: list[str],
+                   string_keys: set[str] | None = None,
+                   prefix: str = "__f") -> tuple[
+                       DataFrame, PreboundVariantAccessor, Column]:
+    """Stage-1 projection: per top-level rule key, a struct of the field's
+    variant, its schema string, and (for ``string_keys``) its JS toString.
+    Returns (staged df, accessor, bad-row predicate for malformed JSON)."""
+    string_keys = string_keys or set()
+    parsed = F.try_parse_json(F.col(json_col))
+    cols = {}
+    names = {}
+    for i, k in enumerate(sorted(keys)):
+        esc = k.replace("\\", "\\\\").replace('"', '\\"')
+        v = F.try_variant_get(parsed, f'$["{esc}"]', "variant")
+        sv = F.schema_of_variant(v)
+        parts = [v.alias("v"), sv.alias("sv")]
+        if k in string_keys:
+            parts.append(_variant_to_string(v, sv).alias("s"))
+        names[k] = f"{prefix}_{i}"
+        cols[names[k]] = F.struct(*parts)
+    staged = df.withColumns(cols)
+    acc = PreboundVariantAccessor({k: F.col(n) for k, n in names.items()})
+    acc._string_keys = frozenset(string_keys)
+    bad = F.col(json_col).isNotNull() & F.try_parse_json(
+        F.col(json_col)).isNull()
+    return staged, acc, bad
 
 
 class _VariantElement(Accessor):
@@ -660,7 +736,8 @@ def validate_json(df: DataFrame, rules: dict, json_col: str,
 def validate_multi(df: DataFrame, rules_by_name: dict[str, dict],
                    name_col: str, json_col: str | None = None,
                    out_col: str = "violations",
-                   status_col: str = "status") -> DataFrame:
+                   status_col: str = "status",
+                   prebind: bool = True) -> DataFrame:
     """Dynamic multi-schema dispatch (SURVEY.md §2.3 J1).
 
     The reference resolves ``<event_name>.json`` per request
@@ -670,8 +747,15 @@ def validate_multi(df: DataFrame, rules_by_name: dict[str, dict],
     'schema_not_found' (the reference's HTTP 404, index.js:47-50); otherwise
     status is 'validation_failed' / 'valid' (index.js:54-75).
 
+    ``prebind`` (JSON path): stage the per-field variant extraction in an
+    explicit projection (:class:`PreboundVariantAccessor`) so each of the
+    corpus' distinct top-level fields generates code once instead of once
+    per event type — measured ~3x faster fresh-plan compile on the 36-schema
+    GA4 corpus (BENCH/CODEGEN.md), identical results.
+
     With many event types the chain grows linearly; beyond a few hundred
-    compiled types, partition per type and union instead (SURVEY.md §7.3.6).
+    compiled types, partition per type and union instead (SURVEY.md §7.3.6,
+    :func:`validate_multi_union`).
     """
     def chain(accessor_for: Callable[[], Accessor]) -> Column:
         expr = None
@@ -691,17 +775,31 @@ def validate_multi(df: DataFrame, rules_by_name: dict[str, dict],
         # that one request, index.js:28-37); unknown names keep NULL/
         # schema_not_found — identical to validate_multi_union's per-branch
         # validate_json behavior.
-        bound = let_(F.try_parse_json(F.col(json_col)),
-                     lambda v: chain(lambda: VariantAccessor(v)))
         known = F.col(name_col).isin(list(rules_by_name))
-        bad = (F.col(json_col).isNotNull()
-               & F.try_parse_json(F.col(json_col)).isNull())
-        out = df.withColumn(
-            out_col,
-            F.when(known & bad,
-                   _one(F.lit("$"), "invalid_request",
-                        "well-formed JSON", "malformed JSON"))
-            .otherwise(bound))
+        invalid = _one(F.lit("$"), "invalid_request",
+                       "well-formed JSON", "malformed JSON")
+        if prebind:
+            keys = sorted({k for rules in rules_by_name.values()
+                           for k in rules if k != "version"})
+            # fields whose toString any rule set needs (value/regex/enum
+            # checks) get the exact Number::toString pre-projected too
+            skeys = {k for rules in rules_by_name.values()
+                     for k, r in rules.items()
+                     if k != "version" and isinstance(r, dict)
+                     and ({"value", "regex", "enum"} & r.keys())}
+            staged, acc2, bad = prebind_fields(df, json_col, keys, skeys)
+            out = staged.withColumn(
+                out_col,
+                F.when(known & bad, invalid).otherwise(chain(lambda: acc2))
+            ).drop(*[c for c in staged.columns if c.startswith("__f_")])
+        else:
+            bound = let_(F.try_parse_json(F.col(json_col)),
+                         lambda v: chain(lambda: VariantAccessor(v)))
+            bad = (F.col(json_col).isNotNull()
+                   & F.try_parse_json(F.col(json_col)).isNull())
+            out = df.withColumn(
+                out_col,
+                F.when(known & bad, invalid).otherwise(bound))
     return out.withColumn(
         status_col,
         F.when(F.col(out_col).isNull(), "schema_not_found")
