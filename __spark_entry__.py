@@ -5,9 +5,13 @@
 each callable takes (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/types; aggregates made engine-deterministic via decimal
-arithmetic and explicit rounding). Non-SQL-expressible ops (MinHash/SimHash
-LSH, multimodal mapInPandas, t-digest) ship without an oracle → the driver
-records the weaker rows-only check; their semantics are pinned by tests/.
+arithmetic and explicit rounding): 30 of 35 queries carry an oracle,
+including the LSH paths m1 (brute-force shingle Jaccard) and ann3
+(brute-force cosine over planted exact duplicates — identical vectors
+collide in every hyperplane table, so LSH output is deterministic).
+The 5 without (validate_docs — synthetic generated input; m2/ann2/ann4 —
+approximate-by-design SimHash/LSH-top-k/IVF; drift3 — t-digest sketch)
+are rows-only for the driver with semantics pinned by tests/.
 """
 
 from __future__ import annotations
