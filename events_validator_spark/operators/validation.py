@@ -118,6 +118,7 @@ class FieldView:
     js_length: Column        # v.length — NULL when undefined (numbers, objects)
     str_value: Column        # raw string value; NULL when not a string
     is_falsy: Column         # JS falsy non-null: false, 0, NaN ('' via str path)
+    num_value: Column        # double value; NULL when not a number
 
 
 def _trimmed_empty(fv: "FieldView") -> Column:
@@ -130,7 +131,7 @@ class _LazyView(FieldView):
     """FieldView whose components build on first use and are cached."""
 
     _FIELDS = ("present", "typeof", "actual", "is_null", "as_string",
-               "js_length", "str_value", "is_falsy")
+               "js_length", "str_value", "is_falsy", "num_value")
 
     def __init__(self):  # noqa: D401 - bypass dataclass init
         object.__setattr__(self, "_cache", {})
@@ -147,7 +148,8 @@ class _LazyView(FieldView):
 def _absent_view() -> FieldView:
     return FieldView(
         F.lit(False), F.lit("undefined"), F.lit("undefined"), F.lit(False),
-        _null_str(), F.lit(None).cast("int"), _null_str(), F.lit(False))
+        _null_str(), F.lit(None).cast("int"), _null_str(), F.lit(False),
+        F.lit(None).cast("double"))
 
 
 class BoundField:
@@ -220,6 +222,11 @@ class _TypedView(_LazyView):
         if isinstance(self._dtype, _TYPED_NUMERIC):
             return F.coalesce(self._col == 0, F.lit(False))
         return F.lit(False)
+
+    def _mk_num_value(self):
+        if isinstance(self._dtype, _TYPED_NUMERIC):
+            return self._col.cast("double")
+        return F.lit(None).cast("double")
 
 
 def _typed_view(col: Column, dtype: T.DataType) -> FieldView:
@@ -406,6 +413,10 @@ class _VariantView(_LazyView):
                   F.try_variant_get(self._v, "$", "double") == 0)
             .otherwise(F.lit(False)),
             F.lit(False))
+
+    def _mk_num_value(self):
+        return F.when(self._sv.rlike(_NUMBER_TYPES_RE),
+                      F.try_variant_get(self._v, "$", "double"))
 
 
 def _variant_view(v: Column, sv: Column) -> FieldView:
@@ -650,8 +661,19 @@ def _check_type(rule: dict, bf: BoundField, path: Column,
 
 def _check_value(rule: dict, fv: FieldView, path: Column) -> Column:
     expected_s = py_js_to_string(rule["value"])  # driver-side toString
+    expected = rule["value"]
     if expected_s is None:
         neq = fv.as_string.isNotNull()  # undefined !== undefined is false
+    elif (isinstance(expected, (int, float)) and not isinstance(expected, bool)
+          and abs(expected) < 1.8e308):  # beyond-double ints: string path
+        # numeric literal fast path: String(x) is injective on doubles, so
+        # for a NUMBER actual, toString equality ⇔ numeric equality — the
+        # (expensive) exact formatter then only evaluates on FAILING rows
+        # (the violation's actual string) and on non-number actuals
+        neq = F.when(fv.typeof == "number",
+                     fv.num_value != F.lit(float(expected)))\
+              .otherwise(fv.as_string.isNull()
+                         | (fv.as_string != F.lit(expected_s)))
     else:
         neq = fv.as_string.isNull() | (fv.as_string != F.lit(expected_s))
     return _gate(neq, _one(path, "value", expected_s, fv.as_string))
