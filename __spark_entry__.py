@@ -5,13 +5,15 @@
 each callable takes (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/types; aggregates made engine-deterministic via decimal
-arithmetic and explicit rounding): 30 of 35 queries carry an oracle,
-including the LSH paths m1 (brute-force shingle Jaccard) and ann3
-(brute-force cosine over planted exact duplicates — identical vectors
-collide in every hyperplane table, so LSH output is deterministic).
-The 5 without (validate_docs — synthetic generated input; m2/ann2/ann4 —
-approximate-by-design SimHash/LSH-top-k/IVF; drift3 — t-digest sketch)
-are rows-only for the driver with semantics pinned by tests/.
+arithmetic and explicit rounding): 31 of 35 queries carry an oracle,
+including the LSH paths m1 (brute-force shingle Jaccard), m2 (md5-based
+SimHash whose 60-bit signature DuckDB reproduces bit-for-bit; pigeonhole
+recall is exact for hamming ≤ n_tables-1) and ann3 (brute-force cosine over
+planted exact duplicates — identical vectors collide in every hyperplane
+table, so LSH output is deterministic). The 4 without (validate_docs —
+synthetic generated input; ann2/ann4 — approximate-by-design probe-limited
+LSH top-k / IVF; drift3 — t-digest sketch) are rows-only for the driver
+with semantics pinned by tests/.
 """
 
 from __future__ import annotations
@@ -319,8 +321,12 @@ def q_m1_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_m2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-token-hash SimHash (60-bit) so DuckDB reproduces the signature
+    bit-for-bit; pigeonhole recall is EXACT for hamming ≤ n_tables-1, so the
+    LSH output equals the brute-force oracle deterministically."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_dedup_candidates(docs, n_tables=4, max_hamming=3)
+    return dedup.simhash_dedup_candidates(docs, bits=60, n_tables=4,
+                                          max_hamming=3, token_hash="md5")
 
 
 def q_ann2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,6 +716,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT user_id FROM events WHERE user_id < 200
             ) ORDER BY c_custkey
         """,
+        "m2_simhash_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents
+            ), hs AS (
+              SELECT doc_id,
+                     list_transform(t, tok ->
+                       CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)) AS h
+              FROM toks
+            ), sigs AS (
+              SELECT doc_id,
+                     list_sum(list_transform(range(0, 60), b ->
+                       CASE WHEN list_sum(list_transform(h, x ->
+                                    CASE WHEN (x >> b) & 1 = 1
+                                         THEN 1 ELSE -1 END)) > 0
+                            THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sig
+              FROM hs
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        """,
         "m1_minhash_pairs": r"""
             WITH sh AS (
               SELECT doc_id, list_distinct(
@@ -759,8 +789,9 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha256
             FROM documents
         """,
-        # m2 (SimHash LSH — xxhash64 not in DuckDB), ann2/ann4 (approximate by
-        # design: probe-limited LSH / IVF recall < 1), drift3 (t-digest sketch),
-        # validate_docs (synthetic generated input, not an sf parquet table) —
-        # no SQL oracle; driver records rows-only; semantics pinned by tests/.
+        # ann2/ann4 (approximate by design: probe-limited LSH / IVF recall
+        # < 1, numpy-seeded hyperplanes/KMeans not SQL-reproducible), drift3
+        # (t-digest sketch), validate_docs (synthetic generated input, not an
+        # sf parquet table) — no SQL oracle; driver records rows-only;
+        # semantics pinned by tests/.
     }

@@ -160,33 +160,50 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(col: Column, bits: int = 64) -> Column:
+def simhash(col: Column, bits: int = 64,
+            token_hash: str = "xxhash64") -> Column:
     """SimHash signature over whitespace tokens, as a long (bits ≤ 64).
 
     Per bit position b: sum over tokens of ±1 by token-hash bit b; the
     signature bit is 1 when the vote is positive. Pure expressions.
+
+    ``token_hash='md5'`` uses the first 15 hex chars of md5 as a 60-bit
+    token hash — byte-identical in DuckDB (``'0x'||substr(md5(t),1,15)``),
+    which makes the whole SimHash pipeline SQL-oracle-checkable; use
+    ``bits=60`` with it. xxhash64 (default) is the faster engine-only path.
     """
+    def tok_hash(t: Column) -> Column:
+        if token_hash == "md5":
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        return F.xxhash64(t)
+
     def build(toks: Column) -> Column:
-        def bit_vote(b: int) -> Column:
-            return F.aggregate(
-                toks, F.lit(0),
-                lambda acc, t: acc + F.when(
-                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1)).otherwise(F.lit(-1)))
-        sig = F.lit(0).cast("long")
-        for b in range(bits):
-            sig = sig + F.when(bit_vote(b) > 0,
-                               F.shiftleft(F.lit(1).cast("long"), b)
-                               ).otherwise(F.lit(0).cast("long"))
-        return sig
-    # let_-bind the token array: 64 bit-vote aggregates share one tokenization
+        hashes = F.transform(toks, tok_hash)
+
+        def from_hashes(hs: Column) -> Column:
+            def bit_vote(b: int) -> Column:
+                return F.aggregate(
+                    hs, F.lit(0),
+                    lambda acc, h: acc + F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1)).otherwise(F.lit(-1)))
+            sig = F.lit(0).cast("long")
+            for b in range(bits):
+                sig = sig + F.when(bit_vote(b) > 0,
+                                   F.shiftleft(F.lit(1).cast("long"), b)
+                                   ).otherwise(F.lit(0).cast("long"))
+            return sig
+        # bind the hash array too: each token hashes once, not once per bit
+        return let_(hashes, from_hashes)
+    # let_-bind the token array: the bit-vote aggregates share one tokenization
     return let_(tokens(F.lower(col)), build)
 
 
 def simhash_dedup_candidates(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id", bits: int = 64,
                              n_tables: int = 4, max_hamming: int = 3,
-                             bucket_cap: int = 256) -> DataFrame:
+                             bucket_cap: int = 256,
+                             token_hash: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash with pigeonhole multi-table bucketing.
 
     The signature is split into ``n_tables`` equal chunks; docs are bucketed
@@ -202,7 +219,7 @@ def simhash_dedup_candidates(df: DataFrame, text_col: str = "text",
     chunk_bits = bits // n_tables
     mask = (1 << chunk_bits) - 1
     sigs = df.select(F.col(id_col).alias("id"),
-                     simhash(F.col(text_col), bits).alias("sig"))
+                     simhash(F.col(text_col), bits, token_hash).alias("sig"))
     chunks = F.array(*[
         F.struct(F.lit(t).alias("t"),
                  F.shiftrightunsigned(F.col("sig"), t * chunk_bits)
