@@ -22,6 +22,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="synthetic interleaved-doc count (deterministic)")
     ap.add_argument("--out", required=True, help="output dir for the run")
     ap.add_argument("--buckets", type=int, default=8)
+    ap.add_argument("--partitioned", action="store_true",
+                    help="materialize the docs partitioned by a synthetic "
+                         "date_utc and resume on the partition column "
+                         "(each bucket scan partition-prunes)")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--cores", type=int, default=None,
                     help="local[] cores (ignored under a real cluster master)")
@@ -42,9 +46,24 @@ def main(argv: list[str] | None = None) -> None:
     from events_validator_spark.sources.synthetic import DOC_RULES, interleaved_docs
 
     docs = interleaved_docs(spark, args.docs)
+    bucket_col = None
+    if args.partitioned:
+        import os
+        from pyspark.sql import functions as F
+        src = os.path.join(args.out, "docs_partitioned")
+        (docs.withColumn(
+            "date_utc",
+            F.to_date(F.concat(
+                F.lit("2024-01-"),
+                F.lpad((F.pmod(F.xxhash64("doc_id"),
+                               F.lit(args.buckets)) + 1).cast("string"),
+                       2, "0"))))
+         .write.mode("overwrite").partitionBy("date_utc").parquet(src))
+        docs = spark.read.parquet(src)
+        bucket_col = "date_utc"
     manifest = run_validation(
         docs, DOC_RULES, args.out, n_buckets=args.buckets,
-        run_id=args.run_id,
+        bucket_col=bucket_col, run_id=args.run_id,
         log_payload_when_error=args.log_payload,
         log_valid_fields=args.log_valid_fields)
     json.dump(manifest, sys.stdout)

@@ -91,3 +91,55 @@ def run_stream_to_memory(spark: SparkSession, source_dir: str, schema,
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_pipeline(spark: SparkSession, source_dir: str, schema,
+                        rules: dict, out_dir: str,
+                        event_name: str = "interleaved_doc",
+                        checkpoint_dir: str | None = None) -> dict:
+    """The FULL pipeline under Structured Streaming: each micro-batch writes
+    the same violations + verdicts tables as plans/pipeline.run_validation,
+    via ``foreachBatch`` (exactly-once per batch through the streaming
+    checkpoint — the streaming twin of the batch manifest resume).
+
+    Returns {"batches": n, "out_dir": out_dir}. Sandbox harness drives a
+    parquet directory to completion; a real deployment points readStream at
+    Kafka/Iceberg and leaves the query running.
+    """
+    import os
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    validated = validate_stream(src, rules)
+    seen = {"n": 0}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.persist()
+        verdicts = part.select(
+            "doc_id",
+            F.lit(event_name).alias("event_name"),
+            (F.size("violations") == 0).alias("passed"),
+            F.size("violations").alias("n_violations"),
+            F.lit(str(batch_id)).alias("partition_id"),
+            F.lit(f"stream-{batch_id}").alias("snapshot_id"))
+        violations = (part.select(
+            "doc_id", F.explode("violations").alias("v"))
+            .select(F.lit(event_name).alias("event_name"),
+                    F.col("doc_id").alias("event_id"),
+                    "v.field", "v.error_type", "v.expected", "v.actual",
+                    F.current_timestamp().alias("timestamp"),
+                    F.lit("error").alias("status"),
+                    F.current_date().alias("date_utc"),
+                    F.lit(str(batch_id)).alias("partition_id")))
+        (violations.write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "violations", f"batch={batch_id}")))
+        (verdicts.write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "verdicts", f"batch={batch_id}")))
+        part.unpersist()
+        seen["n"] += 1
+
+    writer = validated.writeStream.foreachBatch(write_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    return {"batches": seen["n"], "out_dir": out_dir}

@@ -205,3 +205,23 @@ def test_run_validation_partition_pruned_resume(spark, tmp_path):
     # intentional doc_id duplicates, so compare whole-row counts, not keys)
     assert (verd2.groupBy("doc_id").count().exceptAll(
         verd.groupBy("doc_id").count()).count()) == 0
+
+
+def test_streaming_foreachbatch_pipeline(spark, tmp_path):
+    """foreachBatch full pipeline: streaming micro-batches produce the same
+    violations/verdicts tables as the batch run over identical input."""
+    from events_validator_spark.streaming.stream import run_stream_pipeline
+    src = str(tmp_path / "sp_src")
+    docs = interleaved_docs(spark, 500)
+    docs.write.parquet(src)
+    out = str(tmp_path / "sp_out")
+    res = run_stream_pipeline(spark, src, docs.schema, DOC_RULES, out,
+                              checkpoint_dir=str(tmp_path / "sp_ck"))
+    assert res["batches"] >= 1
+    verd = spark.read.parquet(out + "/verdicts")
+    viol = spark.read.parquet(out + "/violations")
+    assert verd.count() == 500
+    from events_validator_spark.operators.validation import validate_typed
+    expected = (validate_typed(interleaved_docs(spark, 500), DOC_RULES)
+                .select(F.explode("violations")).count())
+    assert viol.count() == expected
