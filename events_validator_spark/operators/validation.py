@@ -713,12 +713,19 @@ def _check_regex(rule: dict, fv: FieldView, path: Column) -> Column:
             f"({err}); rewrite it in the common JS/Java subset "
             "(see functions/js_compat.js_regex_to_java)")
     is_empty_value = _trimmed_empty(fv) | fv.is_null
-    coerced = F.coalesce(fv.as_string, F.lit("undefined"))  # String(undefined)
-    no_match = ~coerced.rlike(java_pat)
-    return (
-        F.when(is_empty_value, _one(path, "regex", pattern, "empty_value"))
-        .otherwise(_gate(no_match, _one(path, "regex", pattern, fv.as_string)))
-    )
+
+    # let_-bind the toString: it is referenced by both the match input and
+    # the violation's actual, and branch subexpressions are not deduplicated
+    # in (interpreted) evaluation — unbound it would evaluate twice per row
+    def body(s: Column) -> Column:
+        coerced = F.coalesce(s, F.lit("undefined"))  # String(undefined)
+        return (
+            F.when(is_empty_value,
+                   _one(path, "regex", pattern, "empty_value"))
+            .otherwise(_gate(~coerced.rlike(java_pat),
+                             _one(path, "regex", pattern, s))))
+
+    return let_(fv.as_string, body)
 
 
 # ---------------------------------------------------------------------------
@@ -775,9 +782,11 @@ def validate_multi(df: DataFrame, rules_by_name: dict[str, dict],
     per event type — measured ~3x faster fresh-plan compile on the 36-schema
     GA4 corpus (BENCH/CODEGEN.md), identical results.
 
-    With many event types the chain grows linearly; beyond a few hundred
-    compiled types, partition per type and union instead (SURVEY.md §7.3.6,
-    :func:`validate_multi_union`).
+    Strategy guidance (measured, BENCH/CODEGEN.md): the staged chain is the
+    right default at any corpus size tested — 36 GA4 schemas compile in ~70 s
+    fresh / run steady like a single projection. The union fallback
+    (:func:`validate_multi_union`) benchmarked WORSE (37 branch plans); use
+    it only when per-type plans must be isolated (e.g. per-type sinks).
     """
     def chain(accessor_for: Callable[[], Accessor]) -> Column:
         expr = None
