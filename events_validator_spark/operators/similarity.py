@@ -70,24 +70,32 @@ def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", dim: int = 64,
-             n_planes: int = 12, seed: int = 42) -> DataFrame:
-    """Approximate top-k: hyperplane-LSH bucket join, exact cosine within bucket.
+             n_planes: int = 12, n_tables: int = 4,
+             seed: int = 42) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane-LSH bucket join, exact
+    cosine within buckets.
 
-    Recall < 1 by design (single probe); at 10^12 scale this replaces the cross
-    join with an equi-join on the signature — the corpus shuffles once on a
-    12-bit key instead of being scanned per query batch.
+    Recall < 1 by design, tunable via ``n_tables`` (a neighbor at angle θ is
+    missed by all tables with (1 − (1−θ/π)^n_planes)^n_tables); at 10^12
+    scale this replaces the cross join with an equi-join on (table, sig) —
+    the corpus shuffles once on a small key instead of being scanned per
+    query batch. Candidates hit in several tables are deduplicated before
+    the exact re-rank.
     """
-    sig = hyperplane_signature_udf(dim, n_planes, seed)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cvec"),
-                      sig(F.col(vec_col)).alias("__sig"))
-    q = F.broadcast(queries.select(F.col(query_id_col).alias("query_id"),
-                                   F.col(vec_col).alias("__qvec"),
-                                   sig(F.col(vec_col)).alias("__sig")))
+    sig = hyperplane_signatures_udf(dim, n_planes, n_tables, seed)
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("__cvec"),
+                       F.posexplode(sig(F.col(vec_col))).alias("__t", "__sig")))
+    q = F.broadcast(
+        queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qvec"),
+                       F.posexplode(sig(F.col(vec_col))).alias("__t", "__sig")))
+    cand = (c.join(q, ["__t", "__sig"])
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "__qvec", "__cvec")
+            .dropDuplicates(["query_id", "neighbor_id"]))
     sim = cosine(F.col("__qvec"), F.col("__cvec")).alias("sim")
-    scored = (c.join(q, "__sig")
-              .where(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id", sim))
+    scored = cand.select("query_id", "neighbor_id", sim)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
