@@ -188,3 +188,24 @@ def test_normalize_rule_spec_f8():
     assert "value" in n["e"] and n["e"]["value"] is None
     assert n["arr"]["nestedSchema"]["q"]["value"] == 7
     assert n["version"] == 2
+
+
+def test_export_schema_report(tmp_path):
+    schema = {
+        "event_name": {"type": "string", "value": "purchase"},
+        "version": {"type": "number", "value": 2},
+        "currency": {"type": "string", "value": "USD",
+                     "description": "ISO\ncode"},
+        "items": {"type": "array", "description": "cart", "nestedSchema": {
+            "item_id": {"type": "string", "description": "sku"}}},
+    }
+    md = ss.export_schema_report(schema)
+    assert md.startswith("Schema name: purchase version: 2")
+    assert "| **currency** | string | Yes | USD | ISO<br>code |" in md
+    assert "## items: nested keys" in md
+    assert "| **item_id** | string | Yes |  | sku |" in md
+    p = ss.save_schema_report(schema, str(tmp_path), "purchase")
+    assert open(p).read() == md
+    # missing header fields fall back like the reference
+    assert ss.export_schema_report({}).startswith(
+        "Schema name: not provided version: not provided")
