@@ -38,6 +38,11 @@ from events_validator_spark.operators.validation import (
 # ---------------------------------------------------------------------------
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # queries may run under a harness-owned session: apply the engine's
+    # runtime conf (InferFiltersFromGenerate exclusion — see session.py for
+    # the 6x explode re-evaluation rationale) before building the plan
+    from events_validator_spark.session import apply_recommended_conf
+    apply_recommended_conf(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -57,10 +62,15 @@ EVENTS_PROPS_RULES = {
 def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     # the testdata file is a single parquet row group — unsplittable, so the
-    # scan is one task; a cheap repartition unlocks every core for the
-    # validation projection (real corpora have many files/row groups)
+    # scan is one task and a cheap repartition unlocks every core for the
+    # validation projection. CONDITIONAL: a real corpus has many files/row
+    # groups and already scans at >= cores partitions — shuffling 100 TB
+    # before a shuffle-free projection would be a scale-killer, so skip the
+    # repartition whenever the scan is already parallel enough.
     cores = spark.sparkContext.defaultParallelism
-    out = validate_json(ev.repartition(cores * 2), EVENTS_PROPS_RULES, "props")
+    if ev.rdd.getNumPartitions() < cores:  # driver-side plan probe, no job
+        ev = ev.repartition(cores * 2)
+    out = validate_json(ev, EVENTS_PROPS_RULES, "props")
     return explode_violations(out, ["event_id"])
 
 

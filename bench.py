@@ -96,13 +96,23 @@ def main() -> None:
     suite = min((full_constraint_suite(spark, n_docs, cores)
                  for _ in range(repeats)), key=lambda s: s["wall_sec"])
 
+    # Per query, two honest numbers (round-2 verdict item 2):
+    #   fresh  = DataFrame build (py4j tree construction + analysis) + first
+    #            execution — what a one-shot spark-submit pays;
+    #   steady = best warm re-execution of the SAME DataFrame object — what
+    #            every subsequent batch of a long-running job pays. Each
+    #            noop write re-plans, but the py4j build and analysis are
+    #            amortized, so regressions in either half are attributable.
     qs = entrymod.queries()
-    timings = {}
+    timings, fresh_timings = {}, {}
     for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        fresh_timings[name] = round(time.monotonic() - t0, 3)
         best = None
         for _ in range(repeats):
             t0 = time.monotonic()
-            df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
@@ -114,6 +124,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_fresh": fresh_timings,
+        "fresh_wall": round(sum(fresh_timings.values()), 3),
         "sf": sf,
         "cores": cores,
         "docs_per_sec": suite["docs_per_sec"],

@@ -531,12 +531,14 @@ def prebind_fields(df: DataFrame, json_col: str, keys: list[str],
             parts.append(_variant_to_string(v, sv).alias("s"))
         names[k] = f"{prefix}_{i}"
         cols[names[k]] = F.struct(*parts)
+    # the malformed-JSON predicate is staged too: re-parsing in the consumer
+    # projection would cost one extra try_parse_json per row (interpreted
+    # subexpression elimination does not reach across projections)
+    cols[f"{prefix}_bad"] = F.col(json_col).isNotNull() & parsed.isNull()
     staged = df.withColumns(cols)
     acc = PreboundVariantAccessor({k: F.col(n) for k, n in names.items()})
     acc._string_keys = frozenset(string_keys)
-    bad = F.col(json_col).isNotNull() & F.try_parse_json(
-        F.col(json_col)).isNull()
-    return staged, acc, bad
+    return staged, acc, F.col(f"{prefix}_bad")
 
 
 class _VariantElement(Accessor):
@@ -742,24 +744,48 @@ def validate_typed(df: DataFrame, rules: dict,
     return df.withColumn(out_col, compile_violations(rules, acc))
 
 
+def _prebind_key_sets(rules_sets: list[dict]) -> tuple[list[str], set[str]]:
+    """(all top-level rule keys, keys whose JS toString any check needs)."""
+    keys = sorted({k for rules in rules_sets for k in rules if k != "version"})
+    skeys = {k for rules in rules_sets for k, r in rules.items()
+             if k != "version" and isinstance(r, dict)
+             and ({"value", "regex", "enum"} & r.keys())}
+    return keys, skeys
+
+
 def validate_json(df: DataFrame, rules: dict, json_col: str,
-                  out_col: str = "violations") -> DataFrame:
+                  out_col: str = "violations",
+                  prebind: bool = True) -> DataFrame:
     """Validate a JSON-string column with full JS fidelity via VARIANT.
 
-    ``try_parse_json`` appears once per field access but whole-stage codegen's
-    subexpression elimination evaluates it once per row. Malformed JSON does
-    NOT abort the job (one bad row must not kill a 10^12-row pass): such rows
-    get a single ``invalid_request`` violation — the reference 400s them
-    (validator_src/index.js:28-37).
+    ``prebind`` (default): stage the per-field variant extraction — the
+    field's value, its ``schema_of_variant``, and (where a value/regex/enum
+    check needs it) its JS toString — in an explicit projection first
+    (:func:`prebind_fields`). The VARIANT path has NO whole-stage codegen,
+    and interpreted evaluation does not deduplicate subexpressions across
+    ``when`` branches, so without staging every check re-evaluates the
+    ``try_parse_json``/``try_variant_get``/Number::toString trees per row;
+    staged, each evaluates once per row per field (measured ~3× faster at
+    sf0.1 — the round-2 BENCH regression). Set ``prebind=False`` to inline
+    (identical results; useful only for plan-shape debugging).
+
+    Malformed JSON does NOT abort the job (one bad row must not kill a
+    10^12-row pass): such rows get a single ``invalid_request`` violation —
+    the reference 400s them (validator_src/index.js:28-37).
     """
+    invalid = _one(F.lit("$"), "invalid_request",
+                   "well-formed JSON", "malformed JSON")
+    if prebind:
+        keys, skeys = _prebind_key_sets([rules])
+        staged, acc, bad = prebind_fields(df, json_col, keys, skeys)
+        out = compile_violations(rules, acc)
+        return (staged.withColumn(out_col,
+                                  F.when(bad, invalid).otherwise(out))
+                .drop(*[c for c in staged.columns if c.startswith("__f_")]))
     parsed = F.try_parse_json(F.col(json_col))
     out = compile_violations(rules, VariantAccessor(parsed))
     bad = F.col(json_col).isNotNull() & parsed.isNull()
-    return df.withColumn(
-        out_col,
-        F.when(bad, _one(F.lit("$"), "invalid_request",
-                         "well-formed JSON", "malformed JSON"))
-        .otherwise(out))
+    return df.withColumn(out_col, F.when(bad, invalid).otherwise(out))
 
 
 def validate_multi(df: DataFrame, rules_by_name: dict[str, dict],
@@ -810,14 +836,9 @@ def validate_multi(df: DataFrame, rules_by_name: dict[str, dict],
         invalid = _one(F.lit("$"), "invalid_request",
                        "well-formed JSON", "malformed JSON")
         if prebind:
-            keys = sorted({k for rules in rules_by_name.values()
-                           for k in rules if k != "version"})
             # fields whose toString any rule set needs (value/regex/enum
             # checks) get the exact Number::toString pre-projected too
-            skeys = {k for rules in rules_by_name.values()
-                     for k, r in rules.items()
-                     if k != "version" and isinstance(r, dict)
-                     and ({"value", "regex", "enum"} & r.keys())}
+            keys, skeys = _prebind_key_sets(list(rules_by_name.values()))
             staged, acc2, bad = prebind_fields(df, json_col, keys, skeys)
             out = staged.withColumn(
                 out_col,

@@ -12,6 +12,29 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Runtime-settable SQL confs the engine recommends for ANY session running it
+# (rationale inline below at the builder). Applied automatically by
+# :func:`get_spark`; external sessions (e.g. a harness-owned one) can opt in
+# via :func:`apply_recommended_conf`.
+_INFER_FILTERS_RULE = ("org.apache.spark.sql.catalyst.optimizer."
+                       "InferFiltersFromGenerate")
+
+
+def apply_recommended_conf(spark: SparkSession) -> None:
+    """Apply the engine's runtime-settable conf to an existing session.
+
+    Merges with (never clobbers) any excludedRules the session already set.
+    Idempotent and safe to call per query.
+    """
+    try:
+        existing = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+        rules = [r for r in (existing or "").split(",") if r]
+        if _INFER_FILTERS_RULE not in rules:
+            rules.append(_INFER_FILTERS_RULE)
+        spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
+    except Exception:
+        pass  # a locked-down session keeps its own settings
+
 
 def get_spark(app_name: str = "events-validator-spark",
               cores: int | None = None,
@@ -39,6 +62,18 @@ def get_spark(app_name: str = "events-validator-spark",
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # InferFiltersFromGenerate turns explode(<computed array>) into a
+        # pushed-down Filter(size(<computed array>) > 0) BELOW the producing
+        # projection — PushDownPredicates re-inlines the whole producer tree
+        # into the filter, so every computed-array explode (violation rows,
+        # shingles, LSH bands) evaluates its array expression TWICE per row
+        # with zero subexpression sharing. Measured 6x wall on the flagship
+        # validate_events explode (tests/test_plans.py pins the plan shape).
+        # explode() already skips empty/null arrays, so excluding the rule
+        # never changes results; it only loses early row pruning when the
+        # array is a cheap stored column — negligible next to the 2x
+        # re-evaluation it inflicts on computed arrays.
+        .config("spark.sql.optimizer.excludedRules", _INFER_FILTERS_RULE)
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
