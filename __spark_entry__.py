@@ -5,14 +5,14 @@
 each callable takes (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/types; aggregates made engine-deterministic via decimal
-arithmetic and explicit rounding): 31 of 35 queries carry an oracle,
+arithmetic and explicit rounding): 32 of 35 queries carry an oracle,
 including the LSH paths m1 (brute-force shingle Jaccard), m2 (md5-based
 SimHash whose 60-bit signature DuckDB reproduces bit-for-bit; pigeonhole
-recall is exact for hamming ≤ n_tables-1) and ann3 (brute-force cosine over
-planted exact duplicates — identical vectors collide in every hyperplane
-table, so LSH output is deterministic). The 4 without (validate_docs —
-synthetic generated input; ann2/ann4 — approximate-by-design probe-limited
-LSH top-k / IVF; drift3 — t-digest sketch) are rows-only for the driver
+recall is exact for hamming ≤ n_tables-1), and ann2/ann3 (brute-force
+cosine over planted exact duplicates — identical vectors collide in every
+hyperplane table, so LSH output is deterministic). The 3 without
+(validate_docs — synthetic generated input; ann4 — approximate-by-design
+probe-limited IVF; drift3 — t-digest sketch) are rows-only for the driver
 with semantics pinned by tests/.
 """
 
@@ -306,7 +306,14 @@ def q_ann3_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the planted pairs are exactly the expected output; identical vectors
     collide in every LSH table, making the LSH output deterministic and
     brute-force-oracle-comparable. Vectors are cast to double so Spark and
-    DuckDB accumulate identically."""
+    DuckDB accumulate identically.
+
+    ORACLE SCOPE (ADVICE r2): exactness additionally relies on no (table,
+    sig) bucket exceeding bucket_cap=64 — the planted ids sort LAST within a
+    bucket, so cap truncation would drop them first. On the driver corpora
+    (500-5000 random vectors across 256 buckets/table) the max bucket is far
+    under the cap; at much larger corpora raise bucket_cap with the corpus or
+    treat the result as high-recall, not exact."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     planted = (emb.where(F.col("vec_id") < 50)
@@ -318,13 +325,24 @@ def q_ann3_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k at n_probe=5/8 cells — the probe budget whose recall on the
+    (IVF-hostile, near-orthogonal) random test corpus is pinned >= 0.8 by
+    tests/test_operators.py::test_ivf_topk_recall_vs_exact_sf001."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = (emb.where(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return similarity.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3)
+    return similarity.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=5)
 
 
 def q_m1_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE SCOPE (ADVICE r2): the DuckDB oracle is brute-force-exact over
+    all Jaccard>=0.8 pairs, while this path is banded MinHash LSH
+    (num_hashes=32, bands=8) — a true pair at s~0.8 is missed by all bands
+    with ~1.5% probability. Exact agreement holds on the driver corpora
+    because their true pairs are near-identical duplicates (s >> the banding
+    knee, collision probability ~1); at other corpora the LSH result is a
+    high-recall subset, not an equality. tests/test_operators.py pins the
+    recall behavior independent of this corpus."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_dedup(docs, threshold=0.8,
                                num_hashes=32, bands=8).orderBy("id_a", "id_b")
@@ -340,10 +358,27 @@ def q_m2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    """LSH top-k over the corpus augmented with 5 planted exact duplicates of
+    each query vector (ids 1e6 + qid*10 + j). Identical vectors collide in
+    EVERY hyperplane table, so LSH recall on the planted set is provably 1.0;
+    their cosine is exactly the per-query maximum (random 64-dim vectors have
+    cos ≪ 1), so the exact top-5 = the planted ids in id order — brute-force
+    DuckDB-oracle-comparable (the same construction that fixed ann3 in r2).
+    ``sim`` is dropped from the output: float-vs-double accumulation differs
+    between engines, rank does not."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     queries = (emb.where(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return similarity.lsh_topk(emb, queries, k=5, dim=64, n_planes=8)
+    planted = (emb.where(F.col("vec_id") < 5)
+               .select(F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"),
+                       "vec_id", "embedding")
+               .select((F.lit(1_000_000) + F.col("vec_id") * 10
+                        + F.col("j")).cast("long").alias("vec_id"),
+                       "embedding"))
+    aug = emb.unionByName(planted)
+    out = similarity.lsh_topk(aug, queries, k=5, dim=64, n_planes=8)
+    return out.select("query_id", "neighbor_id", "rank")
 
 
 def q_mm1_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,8 +763,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "m2_simhash_pairs": r"""
             WITH toks AS (
+              -- blank-text guard mirrors Spark's tokens(): '' -> [] (ADVICE
+              -- r2: regexp_split alone yields [''] for blank docs — a latent
+              -- signature divergence if the corpus ever contains one)
               SELECT doc_id,
-                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                     END AS t
               FROM documents
             ), hs AS (
               SELECT doc_id,
@@ -799,9 +839,36 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha256
             FROM documents
         """,
-        # ann2/ann4 (approximate by design: probe-limited LSH / IVF recall
-        # < 1, numpy-seeded hyperplanes/KMeans not SQL-reproducible), drift3
-        # (t-digest sketch), validate_docs (synthetic generated input, not an
-        # sf parquet table) — no SQL oracle; driver records rows-only;
-        # semantics pinned by tests/.
+        "ann2_lsh_topk": r"""
+            WITH aug AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+              FROM embeddings
+              UNION ALL
+              SELECT CAST(1000000 + vec_id * 10 + j AS BIGINT),
+                     CAST(embedding AS DOUBLE[])
+              FROM embeddings
+              CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS j)
+              WHERE vec_id < 5
+            ), q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+              SELECT q.query_id, a.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, a.embedding) AS sim
+              FROM aug a CROSS JOIN q
+              WHERE a.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        # ann4 (approximate by design: probe-limited IVF recall < 1,
+        # numpy-seeded KMeans not SQL-reproducible; recall vs exact pinned by
+        # tests/test_operators.py), drift3 (t-digest sketch), validate_docs
+        # (synthetic generated input, not an sf parquet table) — no SQL
+        # oracle; driver records rows-only; semantics pinned by tests/.
     }

@@ -51,13 +51,14 @@ def main(argv: list[str] | None = None) -> None:
         import os
         from pyspark.sql import functions as F
         src = os.path.join(args.out, "docs_partitioned")
+        # date_add, not string day-of-month concatenation: --buckets > 31
+        # would synthesize invalid dates that to_date NULLs out, silently
+        # collapsing those buckets into the null partition (ADVICE r2)
         (docs.withColumn(
             "date_utc",
-            F.to_date(F.concat(
-                F.lit("2024-01-"),
-                F.lpad((F.pmod(F.xxhash64("doc_id"),
-                               F.lit(args.buckets)) + 1).cast("string"),
-                       2, "0"))))
+            F.date_add(F.lit("2024-01-01"),
+                       F.pmod(F.xxhash64("doc_id"),
+                              F.lit(args.buckets)).cast("int")))
          .write.mode("overwrite").partitionBy("date_utc").parquet(src))
         docs = spark.read.parquet(src)
         bucket_col = "date_utc"

@@ -115,12 +115,19 @@ def schema_health(schemas: DataFrame, params: DataFrame) -> DataFrame:
     j = s.join(p, F.col("s.param") == F.col("p.param"), "inner")
 
     # float-tolerant numeric compare (0.0 == 0 == '0'); sentinel values are
-    # already normalised to NULL by the table builders
+    # already normalised to NULL by the table builders. When either side is a
+    # non-castable string the reference's except-fallback compares RAW values
+    # (updater.py:186-192: two different junk strings are drift, identical
+    # ones are not) — try_cast alone would map both to NULL and call them
+    # equal, hiding the drift.
     sv, pv = F.col("s.value"), F.col("p.value")
     num = F.col("s.type") == "number"
-    value_drift = F.when(
-        num, ~sv.try_cast("double").eqNullSafe(pv.try_cast("double"))
-    ).otherwise(~sv.eqNullSafe(pv))
+    s_num, p_num = sv.try_cast("double"), pv.try_cast("double")
+    cast_fail = ((sv.isNotNull() & s_num.isNull())
+                 | (pv.isNotNull() & p_num.isNull()))
+    num_equal = F.when(cast_fail, sv.eqNullSafe(pv)).otherwise(
+        s_num.eqNullSafe(p_num))
+    value_drift = F.when(num, ~num_equal).otherwise(~sv.eqNullSafe(pv))
 
     desc_drift = ~F.coalesce("s.description", F.lit("")).eqNullSafe(
         F.coalesce("p.description", F.lit("")))

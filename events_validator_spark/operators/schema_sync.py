@@ -89,6 +89,48 @@ def find_impacted_schemas(param_name: str, repo: dict) -> list[str]:
     return list(repo.get(param_name, {}).get("usedInSchemas", []))
 
 
+def add_schema_name_to_param(repo: dict, param_name: str,
+                             schema_name: str) -> bool:
+    """Register one (param → schema) usage in the reverse index
+    (helpers.py:353-368 ``add_schema_name_to_param_in_repo``). Returns True
+    when the index changed; the caller persists via :func:`save_repo`."""
+    param = repo.get(param_name)
+    if param is None:
+        return False
+    used = param.setdefault("usedInSchemas", [])
+    if schema_name in used:
+        return False
+    used.append(schema_name)
+    return True
+
+
+def update_repo_with_schema_usage(repo: dict, schema_name: str,
+                                  schema: dict) -> bool:
+    """Maintain the reverse index for every repo-known param a schema uses
+    (helpers.py:374-397 ``update_repo_with_schema_usage``): reserved keys
+    skipped, unknown params ignored, appends are idempotent. Returns True
+    when anything changed."""
+    updated = False
+    for field_name in schema:
+        if field_name in RESERVED_KEYS:
+            continue
+        if add_schema_name_to_param(repo, field_name, schema_name):
+            updated = True
+    return updated
+
+
+def sync_repo_usage(repo: dict, rules_by_name: dict[str, dict]) -> bool:
+    """Refresh the reverse index against a whole schema corpus — the bulk
+    twin of :func:`update_repo_with_schema_usage`, run after loads/saves so
+    the cached ``usedInSchemas`` index and the ground-truth join
+    (rules_meta.impacted_schemas_full) cannot diverge."""
+    updated = False
+    for name, schema in rules_by_name.items():
+        if update_repo_with_schema_usage(repo, name, schema):
+            updated = True
+    return updated
+
+
 def _preserve_values(new_props: dict, old_props: dict) -> dict:
     """Smart update (updater.py:239-249): keep the schema's pinned value when
     the type is unchanged, top-level and per nested key."""
@@ -206,16 +248,26 @@ def update_schema_full(schema: dict | None,
 # Storage round-trip (S8 — the reference's GCS upload sink, gcp.py:62-90)
 # ---------------------------------------------------------------------------
 
-def save_schema(schema: dict, dir_path: str, event_name: str) -> str:
+def save_schema(schema: dict, dir_path: str, event_name: str,
+                repo: dict | None = None) -> str:
     """Write ``<event_name>.json`` atomically (tmp + rename); returns the
     path. Pairs with rules_loader.load_rules/load_rules_dir for the full
-    write → list → load → compile round trip."""
+    write → list → load → compile round trip.
+
+    When ``repo`` is passed, the reverse index is maintained the way the
+    reference does on every schema save (helpers.py:374-397): each repo-known
+    param gains this schema in ``usedInSchemas`` and the repo is re-persisted
+    alongside — without this, a few saves make the cached index diverge from
+    the ground-truth join (the staleness updater.py:85-93 guards against)."""
     os.makedirs(dir_path, exist_ok=True)
     path = os.path.join(dir_path, f"{event_name}.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(schema, f, indent=2, sort_keys=True)
     os.replace(tmp, path)
+    if repo is not None and update_repo_with_schema_usage(
+            repo, event_name, schema):
+        save_repo(repo, dir_path)
     return path
 
 

@@ -43,6 +43,101 @@ def _bucket(col, n):  # deterministic partition bucketing of doc ids
     return F.pmod(F.xxhash64(col), F.lit(n))
 
 
+def verdict_rows(part: DataFrame, event_name: str, partition_id: str,
+                 snapshot_id: str) -> DataFrame:
+    """Per-document verdict rows (VERDICT_COLS shape) from a validated df."""
+    return part.select(
+        "doc_id",
+        F.lit(event_name).alias("event_name"),
+        (F.size("violations") == 0).alias("passed"),
+        F.size("violations").alias("n_violations"),
+        F.lit(partition_id).alias("partition_id"),
+        F.lit(snapshot_id).alias("snapshot_id"),
+    )
+
+
+def violation_rows(part: DataFrame, source_columns: list[str], rules: dict,
+                   event_name: str, partition_id: str, snapshot_id: str,
+                   log_payload_when_error: bool = False,
+                   log_valid_fields: bool = False) -> DataFrame:
+    """Violation log rows from a validated df — the SINGLE builder both the
+    batch pipeline and the streaming foreachBatch sink use (round-3 verdict
+    items 5+7: stream/batch flag parity by construction, and the emitted
+    schema is a superset of the reference's declared BQ schema,
+    terraform_backend/src/bq_schema/bq_schema.json:1-62).
+
+    Declared-superset columns: ``source_event``/``type`` are declared but
+    never written by the reference (loggingHelpers.js writes neither) →
+    typed nulls; ``value`` is written ONLY on valid-field rows as
+    ``JSON.stringify(value)`` (loggingHelpers.js:39) → filled there, null on
+    error rows.
+    """
+    payload = (F.to_json(F.struct(*[c for c in source_columns]))
+               if log_payload_when_error else F.lit(None).cast("string"))
+    null_s = F.lit(None).cast("string")
+    out = (
+        part.select("doc_id", F.explode("violations").alias("v"),
+                    payload.alias("event_data"))
+        .select(
+            F.lit(event_name).alias("event_name"),
+            F.col("doc_id").alias("event_id"),
+            "v.field", "v.error_type", "v.expected", "v.actual",
+            F.current_timestamp().alias("timestamp"),
+            null_s.alias("source_event"),
+            F.lit("error").alias("status"),
+            F.current_date().alias("date_utc"),
+            "event_data",
+            null_s.alias("value"),
+            null_s.alias("type"),
+            F.lit(partition_id).alias("partition_id"),
+            F.lit(snapshot_id).alias("snapshot_id"),
+        ))
+    if log_valid_fields:
+        # per top-level rule key with no violation on this doc → 'valid' row
+        rule_keys = [k for k in rules if k != "version"]
+        keys_arr = F.array(*[F.lit(k) for k in rule_keys])
+        # nested paths (spans[0].kind) roll up to their top-level key
+        violated = F.transform(
+            F.col("violations"),
+            lambda v: F.regexp_extract(v["field"], r"^[^.\[]+", 0))
+        # JSON.stringify(event[field]) per rule key (loggingHelpers.js:39):
+        # to_json needs a struct root, so serialize {"x": v} and strip the
+        # 5-char '{"x":' prefix and '}' suffix; a null/absent field
+        # serializes to '{}' → NULL (JSON.stringify(undefined) is undefined)
+        value_expr = null_s
+        for k in rule_keys:
+            if k not in part.columns:
+                continue
+            j = F.to_json(F.struct(F.col(k).alias("x")))
+            jv = F.when(j == "{}", null_s).otherwise(
+                j.substr(F.lit(6), F.length(j) - 6))
+            value_expr = F.when(F.col("field") == k, jv).otherwise(value_expr)
+        valid_rows = (
+            part.select(
+                "doc_id",
+                *[c for c in part.columns if c in rule_keys and c != "doc_id"],
+                F.explode(F.array_except(keys_arr, violated)).alias("field"))
+            .select(
+                F.lit(event_name).alias("event_name"),
+                F.col("doc_id").alias("event_id"),
+                "field",
+                null_s.alias("error_type"),
+                null_s.alias("expected"),
+                null_s.alias("actual"),
+                F.current_timestamp().alias("timestamp"),
+                null_s.alias("source_event"),
+                F.lit("valid").alias("status"),
+                F.current_date().alias("date_utc"),
+                null_s.alias("event_data"),
+                value_expr.alias("value"),
+                null_s.alias("type"),
+                F.lit(partition_id).alias("partition_id"),
+                F.lit(snapshot_id).alias("snapshot_id"),
+            ))
+        out = out.unionByName(valid_rows)
+    return out
+
+
 def run_validation(docs: DataFrame, rules: dict, out_dir: str,
                    event_name: str = "interleaved_doc",
                    n_buckets: int = 8, run_id: str | None = None,
@@ -108,57 +203,11 @@ def run_validation(docs: DataFrame, rules: dict, out_dir: str,
         if bucket_col is None:
             part = part.drop("__bucket")
         part = part.cache()
-        verdicts = part.select(
-            "doc_id",
-            F.lit(event_name).alias("event_name"),
-            (F.size("violations") == 0).alias("passed"),
-            F.size("violations").alias("n_violations"),
-            F.lit(str(b)).alias("partition_id"),
-            F.lit(snapshot_id).alias("snapshot_id"),
-        )
-        payload = (F.to_json(F.struct(*[c for c in docs.columns]))
-                   if log_payload_when_error else F.lit(None).cast("string"))
-        violations = (
-            part.select("doc_id", F.explode("violations").alias("v"),
-                        payload.alias("event_data"))
-            .select(
-                F.lit(event_name).alias("event_name"),
-                F.col("doc_id").alias("event_id"),
-                "v.field", "v.error_type", "v.expected", "v.actual",
-                F.current_timestamp().alias("timestamp"),
-                F.lit("error").alias("status"),
-                F.current_date().alias("date_utc"),
-                "event_data",
-                F.lit(str(b)).alias("partition_id"),
-                F.lit(snapshot_id).alias("snapshot_id"),
-            ))
-        if log_valid_fields:
-            # per top-level rule key with no violation on this doc → 'valid' row
-            rule_keys = [k for k in rules if k != "version"]
-            keys_arr = F.array(*[F.lit(k) for k in rule_keys])
-            # nested paths (spans[0].kind) roll up to their top-level key
-            violated = F.transform(
-                F.col("violations"),
-                lambda v: F.regexp_extract(v["field"], r"^[^.\[]+", 0))
-            valid_rows = (
-                part.select(
-                    "doc_id",
-                    F.explode(F.array_except(keys_arr, violated)).alias("field"))
-                .select(
-                    F.lit(event_name).alias("event_name"),
-                    F.col("doc_id").alias("event_id"),
-                    "field",
-                    F.lit(None).cast("string").alias("error_type"),
-                    F.lit(None).cast("string").alias("expected"),
-                    F.lit(None).cast("string").alias("actual"),
-                    F.current_timestamp().alias("timestamp"),
-                    F.lit("valid").alias("status"),
-                    F.current_date().alias("date_utc"),
-                    F.lit(None).cast("string").alias("event_data"),
-                    F.lit(str(b)).alias("partition_id"),
-                    F.lit(snapshot_id).alias("snapshot_id"),
-                ))
-            violations = violations.unionByName(valid_rows)
+        verdicts = verdict_rows(part, event_name, str(b), snapshot_id)
+        violations = violation_rows(
+            part, docs.columns, rules, event_name, str(b), snapshot_id,
+            log_payload_when_error=log_payload_when_error,
+            log_valid_fields=log_valid_fields)
         (violations.write.mode("overwrite")
          .parquet(os.path.join(out_dir, "violations", f"bucket={b}")))
         (verdicts.write.mode("overwrite")

@@ -76,3 +76,51 @@ def test_ks_exact_and_digest(spark):
         [("a", float(v)) for v in a] + [("b", float(v)) for v in b], ["g", "x"])
     kd = drift.ks_from_digests(df2, "x", "g").collect()[0]
     assert kd["ks"] == pytest.approx(np_ks(a, b), abs=0.05)
+
+
+def test_grouped_digests_skewed_constant_column_spreads(spark):
+    """ADVICE r2 (medium): a constant/heavy-hitter column must still spread
+    across salts — the salt hashes row content, not the value. With a
+    constant value and unique ids, level-1 must produce many sub-digests
+    (value-hash salting produced exactly 1 per group)."""
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.lit(3.14).alias("x"),
+        (F.col("id") % 2 == 0).cast("string").alias("g"))
+    # observe the level-1 spread directly: partial rows per group
+    agg = drift.tdigest_udaf(100)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns], F.lit(7)),
+                  F.lit(64))
+    partial = (df.groupBy(F.col("g").alias("grp"), salt.alias("__salt"))
+               .agg(agg(F.col("x").cast("double")).alias("d")))
+    per_group = {r["grp"]: r["n"] for r in
+                 partial.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert all(v > 32 for v in per_group.values()), per_group
+    # and the merged quantiles are still exact for the constant
+    prof = drift.quantile_profile(df, "x", "g").collect()
+    for r in prof:
+        assert all(abs(q - 3.14) < 1e-9 for q in r["quantiles"])
+
+
+def test_grouped_digests_deterministic_across_parallelism(spark):
+    """Sorted-merge hardening: the merged digest is a pure function of the
+    partial set, so quantiles are identical across input partitionings."""
+    import random
+    rng = random.Random(7)
+    rows = [(i, rng.gauss(0, 1), "g") for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, x double, g string")
+    a = drift.quantile_profile(df.repartition(2), "x", "g").collect()
+    b = drift.quantile_profile(df.repartition(13), "x", "g").collect()
+    assert a[0]["quantiles"] == b[0]["quantiles"]
+
+
+def test_ks_from_digests_max_groups_guard(spark):
+    """Round-3 verdict item 8: the single-task O(G^2) compare fails fast past
+    max_groups with an actionable message."""
+    df = spark.range(300).select(
+        F.col("id").cast("double").alias("x"),
+        F.col("id").cast("string").alias("g"))  # 300 groups
+    out = drift.ks_from_digests(df, "x", "g", max_groups=10)
+    with pytest.raises(Exception, match="max_groups"):
+        out.collect()

@@ -225,3 +225,61 @@ def test_streaming_foreachbatch_pipeline(spark, tmp_path):
     expected = (validate_typed(interleaved_docs(spark, 500), DOC_RULES)
                 .select(F.explode("violations")).count())
     assert viol.count() == expected
+
+
+BQ_DECLARED_COLS = {  # terraform_backend/src/bq_schema/bq_schema.json:1-62
+    "event_id", "field", "error_type", "expected", "actual", "timestamp",
+    "source_event", "status", "event_name", "event_data", "value", "type",
+}
+
+
+def test_violations_schema_superset_of_declared_bq(spark, tmp_path):
+    """Round-3 verdict item 7: the violations sink emits a SUPERSET of the
+    reference's declared BQ schema — including the declared-but-never-written
+    source_event/type (typed nulls) and value (filled on valid rows)."""
+    from events_validator_spark.plans.pipeline import run_validation, read_outputs
+    docs = interleaved_docs(spark, 200)
+    out = str(tmp_path / "bq_out")
+    run_validation(docs, DOC_RULES, out, n_buckets=2,
+                   log_payload_when_error=True, log_valid_fields=True)
+    viol, _ = read_outputs(spark, out)
+    assert BQ_DECLARED_COLS <= set(viol.columns)
+    rows = viol.collect()
+    errs = [r for r in rows if r["status"] == "error"]
+    valids = [r for r in rows if r["status"] == "valid"]
+    assert errs and valids
+    assert all(r["source_event"] is None and r["type"] is None for r in rows)
+    assert all(r["value"] is None for r in errs)
+    # valid rows carry JSON.stringify(event[field]) (loggingHelpers.js:39):
+    # every present field of the synthetic docs serializes non-null
+    assert any(r["value"] is not None for r in valids)
+    # error rows carry the payload when the flag is on
+    assert all(r["event_data"] is not None for r in errs)
+
+
+def test_batch_stream_v15_flag_parity(spark, tmp_path):
+    """Round-3 verdict item 5: with BOTH V15 flags on, streaming foreachBatch
+    and the batch pipeline emit identical violation rows (modulo the
+    run-dependent timestamp/date/partition/snapshot columns)."""
+    from events_validator_spark.plans.pipeline import run_validation
+    from events_validator_spark.streaming.stream import run_stream_pipeline
+    docs = interleaved_docs(spark, 300)
+    src = str(tmp_path / "pv_src")
+    docs.write.parquet(src)
+
+    b_out = str(tmp_path / "pv_batch")
+    run_validation(docs, DOC_RULES, b_out, n_buckets=2,
+                   log_payload_when_error=True, log_valid_fields=True)
+    s_out = str(tmp_path / "pv_stream")
+    run_stream_pipeline(spark, src, docs.schema, DOC_RULES, s_out,
+                        checkpoint_dir=str(tmp_path / "pv_ck"),
+                        log_payload_when_error=True, log_valid_fields=True)
+
+    stable = ["event_name", "event_id", "field", "error_type", "expected",
+              "actual", "source_event", "status", "event_data", "value",
+              "type"]
+    b = sorted(map(tuple, spark.read.parquet(b_out + "/violations")
+                   .select(*stable).collect()))
+    s = sorted(map(tuple, spark.read.parquet(s_out + "/violations")
+                   .select(*stable).collect()))
+    assert b == s and len(b) > 0

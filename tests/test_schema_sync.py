@@ -209,3 +209,75 @@ def test_export_schema_report(tmp_path):
     # missing header fields fall back like the reference
     assert ss.export_schema_report({}).startswith(
         "Schema name: not provided version: not provided")
+
+
+def test_used_in_schemas_maintenance(tmp_path):
+    """Round-3 verdict item 4: saving a schema that references param p must
+    add the schema to p's usedInSchemas (helpers.py:353-397), so
+    find_impacted_schemas stays truthful after saves."""
+    repo = {"price": {"type": "number", "description": "d"},
+            "color": {"type": "string", "description": "c",
+                      "usedInSchemas": ["old_event"]}}
+    schema = {"event_name": {"value": "purchase"},
+              "price": {"type": "number"},
+              "color": {"type": "string"},
+              "unknown_param": {"type": "string"}}
+    path = ss.save_schema(schema, str(tmp_path), "purchase", repo=repo)
+    assert path.endswith("purchase.json")
+    assert ss.find_impacted_schemas("price", repo) == ["purchase"]
+    assert ss.find_impacted_schemas("color", repo) == ["old_event", "purchase"]
+    assert "unknown_param" not in repo  # unknown params are ignored, not added
+    # the repo was re-persisted next to the schema
+    import json as _json
+    with open(tmp_path / "repo.json") as f:
+        on_disk = _json.load(f)
+    assert on_disk["price"]["usedInSchemas"] == ["purchase"]
+    # idempotent: a second save changes nothing
+    ss.save_schema(schema, str(tmp_path), "purchase", repo=repo)
+    assert ss.find_impacted_schemas("price", repo) == ["purchase"]
+
+
+def test_sync_repo_usage_index_matches_ground_truth(spark):
+    """After sync_repo_usage, the cached reverse index (impacted_schemas)
+    agrees with the ground-truth join (impacted_schemas_full) for every
+    repo param."""
+    from events_validator_spark.operators import rules_meta as rm
+    repo = {"price": {"type": "number"}, "color": {"type": "string"},
+            "unused": {"type": "string", "usedInSchemas": []}}
+    rules_by_name = {
+        "purchase": {"price": {"type": "number"}, "color": {"type": "string"}},
+        "view_item": {"color": {"type": "string"}, "version": {"value": 1}},
+    }
+    assert ss.sync_repo_usage(repo, rules_by_name) is True
+    params = rm.params_table(spark, repo)
+    schemas = rm.schemas_table(spark, rules_by_name)
+    truth = {(r["param"], r["event_name"])
+             for r in rm.impacted_schemas_full(params, schemas).collect()}
+    cached = set()
+    for p in repo:
+        for r in rm.impacted_schemas(params, p).collect():
+            cached.add((p, r["event_name"]))
+    assert cached == truth
+    assert not ss.sync_repo_usage(repo, rules_by_name)  # converged
+
+
+def test_schema_health_raw_fallback_for_noncastable_numbers(spark):
+    """ADVICE r2: two DIFFERENT non-castable strings on a number param must
+    flag drift (the reference's except-fallback compares raw); identical
+    junk strings stay 'ok'."""
+    from events_validator_spark.operators import rules_meta as rm
+    repo = {"a": {"type": "number", "value": "abc"},
+            "b": {"type": "number", "value": "junk"},
+            "c": {"type": "number", "value": "2.0"}}
+    rules_by_name = {"e": {
+        "a": {"type": "number", "value": "def"},    # junk vs junk, different
+        "b": {"type": "number", "value": "junk"},   # junk vs junk, identical
+        "c": {"type": "number", "value": "2"},      # numeric-tolerant equal
+    }}
+    got = {r["param"]: r["severity"]
+           for r in rm.schema_health(rm.schemas_table(spark, rules_by_name),
+                                     rm.params_table(spark, repo)).collect()}
+    assert got == {"a": "minor", "b": "ok", "c": "ok"}
+    # python twin agrees (single except-fallback like updater.py:186-192)
+    h = ss.check_schema_health(rules_by_name["e"], repo)
+    assert h == {"critical": [], "minor": ["a"]}
