@@ -394,7 +394,9 @@ def q_v2_validate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship typed-path validation on the synthetic interleaved-docs table
     (size scaled to the sf of the directory)."""
     from events_validator_spark.operators.validation import validate_typed
+    from events_validator_spark.session import apply_recommended_conf
     from events_validator_spark.sources.synthetic import DOC_RULES, interleaved_docs
+    apply_recommended_conf(spark)  # only query that skips the _t loader
     n = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}.get(
         os.path.basename(os.path.normpath(sf_dir)), 60_000)
     docs = interleaved_docs(spark, n)

@@ -134,9 +134,11 @@ This VM reports 32 vCPUs but they are oversubscribed: a pure-CPU Spark job
 **{cpu_speedup_8_32:.2f}×** from local[8] to local[32]
 (best {cpu[8]['best']:.2f}s → {cpu[32]['best']:.2f}s), and individual runs
 show up to ~10× wall-time outliers from CPU steal. The validation job's
-8→32 speedup ({tp(32)/tp(8):.2f}×) therefore *exceeds* the measured pure-CPU
-platform ceiling; the 2→8 pair, which fits inside the genuinely available
-cores, is the representative N→4N signal: **{eff_2_8:.3f}** (target ≥ 0.8).
+8→32 speedup ({tp(32)/tp(8):.2f}×) runs at
+{100 * (tp(32)/tp(8)) / cpu_speedup_8_32:.0f}% of that measured pure-CPU
+platform ceiling — the 8→32 pair measures the box, not the engine; the 2→8
+pair, which fits inside the genuinely available cores, is the representative
+N→4N signal: **{eff_2_8:.3f}** (target ≥ 0.8).
 On a real cluster (N vs 4N nodes) memory bandwidth and cores scale with
 nodes, which this single-box sandbox cannot reproduce.
 

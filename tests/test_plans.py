@@ -73,3 +73,27 @@ def test_flagship_no_exchange_on_splittable_input(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().treeString()
     assert "Exchange" not in plan, plan
     assert df.count() > 0
+
+
+def test_apply_recommended_conf_merges_not_clobbers(spark):
+    """apply_recommended_conf must append the rule to a session's existing
+    excludedRules, keep it idempotent, and never drop user-set rules."""
+    from events_validator_spark.session import (
+        _INFER_FILTERS_RULE, apply_recommended_conf,
+    )
+    key = "spark.sql.optimizer.excludedRules"
+    before = spark.conf.get(key, None)
+    try:
+        other = "org.apache.spark.sql.catalyst.optimizer.ConstantFolding"
+        spark.conf.set(key, other)
+        apply_recommended_conf(spark)
+        got = spark.conf.get(key).split(",")
+        assert other in got and _INFER_FILTERS_RULE in got
+        apply_recommended_conf(spark)  # idempotent
+        assert spark.conf.get(key).split(",").count(_INFER_FILTERS_RULE) == 1
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+            spark.conf.set(key, _INFER_FILTERS_RULE)
+        else:
+            spark.conf.set(key, before)
