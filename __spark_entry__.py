@@ -5,7 +5,7 @@
 each callable takes (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/types; aggregates made engine-deterministic via decimal
-arithmetic and explicit rounding): 32 of 35 queries carry an oracle,
+arithmetic and explicit rounding): 33 of 36 queries carry an oracle,
 including the LSH paths m1 (brute-force shingle Jaccard), m2 (md5-based
 SimHash whose 60-bit signature DuckDB reproduces bit-for-bit; pigeonhole
 recall is exact for hamming ≤ n_tables-1), and ann2/ann3 (brute-force
@@ -178,6 +178,17 @@ def q_s2_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.element_at(q, 2), 6).alias("q50"),
                  F.round(F.element_at(q, 3), 6).alias("q75"))
             .orderBy("l_returnflag"))
+
+
+def q_s4_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed EXACT quantiles (CDF prefix-sum — no single-task value-map
+    merge; the 10^12-row exact path, stats.exact_quantiles docstring)."""
+    from events_validator_spark.operators.stats import exact_quantiles
+    li = _t(spark, sf_dir, "lineitem")
+    q = exact_quantiles(li, "l_extendedprice", (0.25, 0.5, 0.75))
+    return q.select(F.round("q0", 6).alias("q25"),
+                    F.round("q1", 6).alias("q50"),
+                    F.round("q2", 6).alias("q75"))
 
 
 def q_d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r1_orphan_refs": q_r1_orphan_refs,
         "s1_lineitem_stats": q_s1_lineitem_stats,
         "s2_quantiles_by_flag": q_s2_quantiles_by_flag,
+        "s4_exact_quantiles": q_s4_exact_quantiles,
         "d1_dedup_exact": q_d1_dedup_exact,
         "t1_token_counts": q_t1_token_counts,
         "t2_text_quality": q_t2_text_quality,
@@ -580,6 +592,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(l_quantity, 0.50), 6) AS q50,
                    ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "s4_exact_quantiles": r"""
+            SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+                   ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS q50,
+                   ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS q75
+            FROM lineitem
         """,
         "d1_dedup_exact": r"""
             SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

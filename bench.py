@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "validate_events", "q1_pricing_summary", "q3_top_revenue",
     "a6_failures_per_day", "a7_daily_error_rate", "u1_duplicate_custkeys",
     "r1_orphan_refs", "s1_lineitem_stats", "s2_quantiles_by_flag",
+    "s4_exact_quantiles",
     "d1_dedup_exact", "m1_minhash_pairs", "t2_text_quality", "t3_lang_scores",
     "ann1_topk", "drift1_psi", "drift2_ks",
 ]

@@ -114,3 +114,68 @@ def group_histogram(df: DataFrame, column: str, group_col: str,
     return (df.where(col.isNotNull())
             .groupBy(F.col(group_col).alias("grp"), bucket.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def exact_quantiles(df: DataFrame, column: str,
+                    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                    n_partitions: int | None = None) -> DataFrame:
+    """EXACT linear-interpolated quantiles, fully distributed — the 10^12-row
+    exact path. One row: (q0, q1, ...) matching ``F.percentile`` /
+    DuckDB ``quantile_cont`` bit-for-bit (pinned by tests/test_operators.py).
+
+    ``F.percentile`` (and the exact path of :func:`profile`) builds a
+    value→count map per partial and merges ALL partials in a single final
+    task — on a high-cardinality column at 10^12 rows that merge is a
+    single-task memory/time wall. This operator instead reuses the
+    distributed prefix-sum shape of ``drift.ks_two_sample``:
+
+      1. ``groupBy(x)`` pre-aggregates ties (input shrinks to distinct
+         values, map-side combine);
+      2. ``repartitionByRange(x)`` gives each partition a contiguous value
+         interval;
+      3. per-partition cumulative counts via a window partitioned by the
+         range partition id (all partitions in parallel);
+      4. per-partition totals (P rows) prefix-sum in one tiny window and
+         join back as offsets — the only serial step touches P rows;
+      5. for each q, rank = q·(n−1); the values at floor/ceil rank are read
+         off the global CDF with two conditional-min aggregates and
+         interpolated.
+
+    Locally (sf0.1, 600k rows, 32 cores) this measures ~1.2× slower than the
+    fused map-merge — the shuffle costs more than the merge saves at small
+    scale; it exists because the merge does not survive large scale and this
+    does. Use ``profile(approx=True)`` when sketch accuracy suffices.
+    """
+    from pyspark.sql import Window
+
+    d = (df.select(F.col(column).cast("double").alias("x"))
+         .where(F.col("x").isNotNull()))
+    g = d.groupBy("x").agg(F.count("*").alias("c"))
+    if n_partitions is None:
+        n_partitions = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+    r = (g.repartitionByRange(n_partitions, "x")
+         .withColumn("pid", F.spark_partition_id()))
+    wp = (Window.partitionBy("pid").orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    local = r.select("x", "pid", F.sum("c").over(wp).alias("lc"))
+    totals = r.groupBy("pid").agg(F.sum("c").alias("tc"))
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("tc").over(wo), F.lit(0)).alias("off"))
+    grand = totals.agg(F.sum("tc").alias("n"))
+    cum = (local.join(F.broadcast(offsets), "pid")
+           .select("x", (F.col("lc") + F.col("off")).alias("cum"))
+           .crossJoin(F.broadcast(grand)))
+    aggs = []
+    for i, q in enumerate(qs):
+        rank = F.lit(float(q)) * (F.col("n") - 1)
+        lo, hi = F.floor(rank), F.ceil(rank)
+        aggs += [F.min(F.when(F.col("cum") > lo, F.col("x"))).alias(f"vlo_{i}"),
+                 F.min(F.when(F.col("cum") > hi, F.col("x"))).alias(f"vhi_{i}"),
+                 F.first(rank - lo).alias(f"frac_{i}")]
+    wide = cum.agg(*aggs)
+    return wide.select(*[
+        (F.col(f"vlo_{i}")
+         + F.col(f"frac_{i}") * (F.col(f"vhi_{i}") - F.col(f"vlo_{i}")))
+        .alias(f"q{i}") for i in range(len(qs))])

@@ -239,3 +239,23 @@ def test_ivf_topk_recall_vs_exact_sf001(spark):
     assert all(v >= 0.6 for v in r5.values()), r5
     r6 = recalls(6)
     assert sum(r6.values()) / len(r6) >= 0.9, r6
+
+
+def test_exact_quantiles_distributed_matches_percentile(spark):
+    """exact_quantiles (distributed CDF prefix-sum — no single-task map
+    merge) must match F.percentile bit-for-bit, including interpolation,
+    ties, and tiny inputs."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    qs = (0.25, 0.5, 0.75)
+    for c in ["l_quantity", "l_extendedprice", "l_discount"]:
+        mine = stats.exact_quantiles(li, c, qs).collect()[0]
+        ref = li.agg(F.percentile(F.col(c), list(qs)).alias("p")).collect()[0]["p"]
+        assert all(mine[i] == ref[i] for i in range(3)), (c, list(mine), ref)
+    # heavy ties + 2-row edge
+    df = spark.createDataFrame([(1.0,)] * 7 + [(2.0,)] * 3, "x double")
+    mine = stats.exact_quantiles(df, "x", (0.0, 0.6, 0.7, 1.0)).collect()[0]
+    ref = df.agg(F.percentile("x", [0.0, 0.6, 0.7, 1.0])).collect()[0][0]
+    assert [mine[i] for i in range(4)] == ref
+    two = spark.createDataFrame([(10.0,), (20.0,)], "x double")
+    m2 = two.transform(lambda d: stats.exact_quantiles(d, "x", (0.5,))).collect()[0]
+    assert m2[0] == 15.0
