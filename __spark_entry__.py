@@ -46,6 +46,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _par(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Unlock all cores for CPU-heavy per-row work when the scan itself is
+    under-parallel (the testdata files are single row groups — one task).
+    CONDITIONAL: a real corpus scans at >= cores partitions already, and a
+    corpus-wide shuffle in front of shuffle-free work is a scale-killer —
+    so this is a no-op whenever the scan is parallel enough (pinned by
+    tests/test_plans.py::test_flagship_no_exchange_on_splittable_input)."""
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:  # driver-side plan probe, no job
+        return df.repartition(cores * 2)
+    return df
+
+
 # Reference-grammar rule spec applied to events.props (JSON → VARIANT path).
 # 'k' is an integer 0..99 in the data: the regex fires for 1-digit values,
 # 'u' is absent → a 'missing' row per event (validationHelpers.js semantics).
@@ -67,10 +80,7 @@ def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groups and already scans at >= cores partitions — shuffling 100 TB
     # before a shuffle-free projection would be a scale-killer, so skip the
     # repartition whenever the scan is already parallel enough.
-    cores = spark.sparkContext.defaultParallelism
-    if ev.rdd.getNumPartitions() < cores:  # driver-side plan probe, no job
-        ev = ev.repartition(cores * 2)
-    out = validate_json(ev, EVENTS_PROPS_RULES, "props")
+    out = validate_json(_par(spark, ev), EVENTS_PROPS_RULES, "props")
     return explode_violations(out, ["event_id"])
 
 
@@ -354,7 +364,7 @@ def q_m1_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     knee, collision probability ~1); at other corpora the LSH result is a
     high-recall subset, not an equality. tests/test_operators.py pins the
     recall behavior independent of this corpus."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return dedup.minhash_dedup(docs, threshold=0.8,
                                num_hashes=32, bands=8).orderBy("id_a", "id_b")
 
@@ -363,7 +373,7 @@ def q_m2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5-token-hash SimHash (60-bit) so DuckDB reproduces the signature
     bit-for-bit; pigeonhole recall is EXACT for hamming ≤ n_tables-1, so the
     LSH output equals the brute-force oracle deterministically."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return dedup.simhash_dedup_candidates(docs, bits=60, n_tables=4,
                                           max_hamming=3, token_hash="md5")
 
