@@ -20,10 +20,17 @@ def duplicate_keys(df: DataFrame, keys: list[str],
                    n_salts: int = 32) -> DataFrame:
     """Keys appearing more than once → (keys..., dup_count).
 
-    Two-phase salted aggregation; deterministic salt (hash of all columns) so
-    reruns and resume produce identical plans and results.
+    Two-phase salted aggregation. The salt is ROW-LOCAL
+    (``monotonically_increasing_id``): consecutive rows of a hot key land on
+    different salts, so skew still defuses, while the phase-1 projection
+    references NO payload columns — column pruning reaches the scan (an
+    all-columns content-hash salt forced reading/computing every column,
+    including the big ``spans`` payload, just to build the salt). The salt
+    only routes rows between phase-1 reducers; the phase-2 SUM makes the
+    output identical for ANY salt assignment, so results stay deterministic
+    across reruns, resume, and parallelism (pinned by the determinism audit).
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+    salt = F.pmod(F.monotonically_increasing_id(),
                   F.lit(n_salts)).alias("__salt")
     phase1 = (df.select(*keys, salt)
               .groupBy(*keys, "__salt")
