@@ -221,10 +221,11 @@ def ks_from_digests(df: DataFrame, column: str, group_col: str,
     SCALE NOTE (round-3 verdict item 8): the compare is a SINGLE-TASK O(G²)
     loop over G digest rows. That is the right shape while G is small (the
     input is one ~kB digest per group, typical drift jobs compare a handful
-    of cohorts); it is the WRONG tool for thousands of groups — partition the
-    comparison (e.g. join digests pairwise on a blocking key) before raising
-    ``max_groups``. The guard fails fast with a clear message instead of
-    letting one task grind through millions of pairs."""
+    of cohorts); for thousands of groups use
+    :func:`ks_from_digests_distributed` — identical results, pair space
+    spread across the cluster. The guard fails fast with a clear message
+    (naming the distributed twin) instead of letting one task grind through
+    millions of pairs."""
     digests = grouped_digests(
         df.withColumn("__grp", F.col(group_col).cast("string")),
         column, "__grp", delta=delta)
@@ -234,8 +235,8 @@ def ks_from_digests(df: DataFrame, column: str, group_col: str,
             raise ValueError(
                 f"ks_from_digests: {len(pdf)} groups exceed max_groups="
                 f"{max_groups}; the all-pairs compare is a single-task O(G^2)"
-                " loop — partition the comparison or raise max_groups"
-                " explicitly if you accept the cost")
+                " loop — use ks_from_digests_distributed for large G, or"
+                " raise max_groups explicitly if you accept the cost")
         items = [(r.grp, TDigest.deserialize(r.digest))
                  for r in pdf.itertuples()]
         rows = []
@@ -255,6 +256,53 @@ def ks_from_digests(df: DataFrame, column: str, group_col: str,
             .groupBy("__one")
             .applyInPandas(compare, "grp_a string, grp_b string, ks double")
             .drop("__one"))
+
+
+def ks_from_digests_distributed(df: DataFrame, column: str, group_col: str,
+                                n_points: int = 200,
+                                delta: int = 200) -> DataFrame:
+    """Pairwise KS between all groups, DISTRIBUTED — the large-G twin of
+    :func:`ks_from_digests` (same math, identical results — pinned by
+    tests/test_drift.py).
+
+    Shape: one scan builds the per-group digests (two-level salted
+    aggregation); a pandas UDF materializes each group's inverse-CDF grid
+    ONCE (G rows, not G² evaluations); the G×G/2 pair space is generated by
+    a broadcast range self-join (``grp_a < grp_b``) so pairs spread across
+    the cluster; a scalar Arrow-batched pandas UDF computes the union-grid
+    sup-gap per pair. No single task ever holds more than its share of
+    pairs. The broadcast side is G·n_points doubles (~16 MB at G=10k) —
+    beyond that, add a blocking key to the self-join before broadcasting.
+    """
+    digests = grouped_digests(
+        df.withColumn("__grp", F.col(group_col).cast("string")),
+        column, "__grp", delta=delta)
+
+    @pandas_udf("array<double>")
+    def inv_cdf(blobs: pd.Series) -> pd.Series:
+        qs = np.linspace(0.005, 0.995, n_points)
+        return pd.Series(
+            [[float(x) for x in TDigest.deserialize(bytes(b)).quantiles(qs)]
+             for b in blobs])
+
+    g = digests.select("grp", inv_cdf("digest").alias("inv"))
+    a = g.select(F.col("grp").alias("grp_a"), F.col("inv").alias("inv_a"))
+    b = g.select(F.col("grp").alias("grp_b"), F.col("inv").alias("inv_b"))
+    pairs = a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+
+    @pandas_udf("double")
+    def ks_pair(inv_a: pd.Series, inv_b: pd.Series) -> pd.Series:
+        out = []
+        for va, vb in zip(inv_a, inv_b):
+            va, vb = np.asarray(va), np.asarray(vb)
+            grid = np.union1d(va, vb)
+            fa = np.searchsorted(va, grid, side="right") / n_points
+            fb = np.searchsorted(vb, grid, side="right") / n_points
+            out.append(float(np.abs(fa - fb).max()))
+        return pd.Series(out)
+
+    return pairs.select("grp_a", "grp_b",
+                        ks_pair("inv_a", "inv_b").alias("ks"))
 
 
 def drift_violations(psi_df: DataFrame, column: str,

@@ -124,3 +124,25 @@ def test_ks_from_digests_max_groups_guard(spark):
     out = drift.ks_from_digests(df, "x", "g", max_groups=10)
     with pytest.raises(Exception, match="max_groups"):
         out.collect()
+
+
+def test_ks_from_digests_distributed_matches_single_task(spark):
+    """The distributed pairwise compare (broadcast range self-join + scalar
+    Arrow UDF) must produce EXACTLY the single-task applyInPandas results —
+    same digests, same grids, same sup-gap — for every pair."""
+    import random
+    rng = random.Random(3)
+    rows = []
+    for g in range(8):
+        mu = g * 0.5
+        rows += [(i, rng.gauss(mu, 1.0), f"g{g}") for i in range(800)]
+    df = spark.createDataFrame(rows, "id long, x double, g string")
+    single = {(r["grp_a"], r["grp_b"]): r["ks"]
+              for r in drift.ks_from_digests(df, "x", "g").collect()}
+    dist = {(r["grp_a"], r["grp_b"]): r["ks"]
+            for r in drift.ks_from_digests_distributed(df, "x", "g").collect()}
+    assert set(single) == set(dist) and len(single) == 8 * 7 // 2
+    for k in single:
+        assert single[k] == dist[k], (k, single[k], dist[k])
+    # sanity: distant cohorts drift more than near ones
+    assert dist[("g0", "g7")] > dist[("g0", "g1")]
