@@ -5,7 +5,7 @@
 each callable takes (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/types; aggregates made engine-deterministic via decimal
-arithmetic and explicit rounding): 33 of 36 queries carry an oracle,
+arithmetic and explicit rounding): 34 of 37 queries carry an oracle,
 including the LSH paths m1 (brute-force shingle Jaccard), m2 (md5-based
 SimHash whose 60-bit signature DuckDB reproduces bit-for-bit; pigeonhole
 recall is exact for hamming ≤ n_tables-1), and ann2/ann3 (brute-force
@@ -378,6 +378,18 @@ def q_m2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           max_hamming=3, token_hash="md5")
 
 
+def q_m3_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GROUPS: transitive closure (connected components, distributed
+    min-label propagation) over the m1 verified near-dup pairs. Oracle: the
+    same pair set brute-forced in DuckDB + a recursive-CTE reachability
+    closure. Shares m1's oracle-scope caveat (docstring above)."""
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_dedup(docs, threshold=0.8, num_hashes=32, bands=8)
+    return (dedup.connected_components(pairs)
+            .select("id", F.col("comp").alias("component"))
+            .orderBy("id"))
+
+
 def q_ann2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH top-k over the corpus augmented with 5 planted exact duplicates of
     each query vector (ids 1e6 + qid*10 + j). Identical vectors collide in
@@ -466,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift2_ks": q_drift2_ks,
         "m1_minhash_pairs": q_m1_minhash_pairs,
         "m2_simhash_pairs": q_m2_simhash_pairs,
+        "m3_dedup_components": q_m3_dedup_components,
         "ann2_lsh_topk": q_ann2_lsh_topk,
         "mm1_media_meta": q_mm1_media_meta,
         "drift3_tdigest_ks": q_drift3_tdigest_ks,
@@ -868,6 +881,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents
+        """,
+        "m3_dedup_components": r"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [array_to_string(toks, ' ')] END) AS sh
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\s+')
+                             AS toks
+                    FROM documents)
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / len(list_distinct(a.sh || b.sh)) >= 0.8
+            ), e AS (
+              SELECT id_a AS x, id_b AS y FROM p
+              UNION SELECT id_b, id_a FROM p
+            ), reach(id, r) AS (
+              SELECT x, y FROM e UNION SELECT x, x FROM e
+              UNION
+              SELECT reach.id, e.y FROM reach JOIN e ON reach.r = e.x
+            )
+            SELECT id, MIN(r) AS component FROM reach
+            GROUP BY id ORDER BY id
         """,
         "ann2_lsh_topk": r"""
             WITH aug AS (

@@ -235,3 +235,63 @@ def simhash_dedup_candidates(df: DataFrame, text_col: str = "text",
                  .alias("hamming")))
     return (p.where(F.col("hamming") <= max_hamming)
             .distinct())
+
+
+# ---------------------------------------------------------------------------
+# Dedup groups: connected components over the verified near-dup pair graph
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
+                         max_iter: int = 25,
+                         checkpoint_every: int = 5) -> DataFrame:
+    """(id, component) for every id in ``pairs`` — component = min id
+    reachable through the near-dup graph. The keep-one-per-cluster step of a
+    dedup pipeline: near-dup PAIRS are not dedup GROUPS until transitively
+    closed (a~b, b~c ⇒ {a,b,c} is one cluster even when a~c was never
+    emitted by LSH).
+
+    Distributed min-label propagation: each iteration joins the (symmetric)
+    edge list against current labels and takes the per-node min — pure
+    shuffle algebra, no driver-side graph. Iterations ≈ cluster diameter
+    (tiny for dedup graphs: near-dup clusters are dense). Lineage is
+    truncated with ``localCheckpoint`` every ``checkpoint_every`` rounds —
+    without it the plan doubles per iteration and analysis time explodes at
+    ~15 rounds. Convergence is detected by a changed-row probe (monotone:
+    labels only ever decrease). For web-scale graphs with long chains,
+    alternate large-star/small-star (Kiveris et al.) — same join algebra,
+    fewer rounds; this direct form is the right tool for dedup-shaped
+    (dense, small-diameter) graphs.
+    """
+    e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    edges = (e.unionByName(e.select(F.col("y").alias("x"),
+                                    F.col("x").alias("y")))
+             .distinct())
+    labels = (edges.select("x").distinct()
+              .select(F.col("x").alias("id"), F.col("x").alias("comp")))
+    for it in range(max_iter):
+        prop = (edges.join(labels, edges["y"] == labels["id"])
+                .select(edges["x"].alias("id"), F.col("comp")))
+        new_labels = (labels.unionByName(prop)
+                      .groupBy("id").agg(F.min("comp").alias("comp")))
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.comp") != F.col("o.comp"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_list(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                    a: str = "id_a", b: str = "id_b") -> DataFrame:
+    """Rows of ``df`` surviving near-dup removal: one representative (the min
+    id) per connected component, everything unpaired untouched. The pair set
+    is LSH output (small) → components broadcast back; the corpus never
+    self-joins."""
+    comp = connected_components(pairs, a, b)
+    drop = comp.where(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col))
+    return df.join(F.broadcast(drop), on=id_col, how="left_anti")

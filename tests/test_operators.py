@@ -259,3 +259,27 @@ def test_exact_quantiles_distributed_matches_percentile(spark):
     two = spark.createDataFrame([(10.0,), (20.0,)], "x double")
     m2 = two.transform(lambda d: stats.exact_quantiles(d, "x", (0.5,))).collect()[0]
     assert m2[0] == 15.0
+
+
+def test_connected_components_transitive_closure(spark):
+    """a~b, b~c, c~d chains + separate cluster + long path: every node gets
+    the min reachable id, matching a python union-find."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain -> comp 1
+         (10, 11), (11, 10),              # dup edge, comp 10
+         (20, 21), (22, 21), (23, 22), (24, 23), (25, 24),  # path, comp 20
+         ], "id_a long, id_b long")
+    got = {r["id"]: r["comp"]
+           for r in dedup.connected_components(pairs, checkpoint_every=2).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20, 24: 20, 25: 20}
+
+
+def test_dedup_keep_list(spark):
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 5), (6, 7)],
+                                  "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in
+                  dedup.dedup_keep_list(df, pairs).collect())
+    assert kept == [0, 1, 3, 4, 6]  # 2,5 fold into 1; 7 folds into 6
