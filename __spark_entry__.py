@@ -5,7 +5,7 @@
 each callable takes (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/types; aggregates made engine-deterministic via decimal
-arithmetic and explicit rounding): 34 of 37 queries carry an oracle,
+arithmetic and explicit rounding): 35 of 38 queries carry an oracle,
 including the LSH paths m1 (brute-force shingle Jaccard), m2 (md5-based
 SimHash whose 60-bit signature DuckDB reproduces bit-for-bit; pigeonhole
 recall is exact for hamming ≤ n_tables-1), and ann2/ann3 (brute-force
@@ -423,6 +423,29 @@ def q_mm1_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("media_ref", "n_bytes", "sha256")
 
 
+def q_mm2_span_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule per-row invariant as a query: build a deterministic
+    interleaved span sequence from each document (alternating text/media
+    spans over its tokens; media_ref = md5-derived) and emit the canonical
+    span-sequence signature (multimodal.span_signature). DuckDB reproduces
+    the construction and the md5 bit-for-bit — equality of the signature
+    column IS span-sequence equality on (kind, text, media_ref, order)."""
+    from events_validator_spark.operators import multimodal
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    is_text = lambda i: F.pmod(i, F.lit(2)) == 0
+    spans = F.transform(toks, lambda t, i: F.struct(
+        F.when(is_text(i), "text").otherwise("media").alias("kind"),
+        F.when(is_text(i), t).otherwise(F.lit(None).cast("string"))
+        .alias("text"),
+        F.when(~is_text(i), F.concat(F.lit("media_"),
+                                     F.substring(F.md5(t), 1, 8)))
+        .otherwise(F.lit(None).cast("string")).alias("media_ref"),
+        i.cast("int").alias("offset")))
+    return docs.select("doc_id",
+                       multimodal.span_signature(spans).alias("span_sig"))
+
+
 def q_v2_validate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship typed-path validation on the synthetic interleaved-docs table
     (size scaled to the sf of the directory)."""
@@ -481,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m3_dedup_components": q_m3_dedup_components,
         "ann2_lsh_topk": q_ann2_lsh_topk,
         "mm1_media_meta": q_mm1_media_meta,
+        "mm2_span_signature": q_mm2_span_signature,
         "drift3_tdigest_ks": q_drift3_tdigest_ks,
         "a3_membership_filter": q_a3_membership_filter,
         "t5_bpe_tokens": q_t5_bpe_tokens,
@@ -935,6 +959,25 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        "mm2_span_signature": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   md5(array_to_string(
+                     list_transform(range(1, len(toks) + 1), i ->
+                       CASE WHEN (i - 1) % 2 = 0
+                         THEN 'text:' || toks[i] || ':' || chr(1) || ':'
+                              || (i - 1)
+                         ELSE 'media:' || chr(1) || ':media_'
+                              || substr(md5(toks[i]), 1, 8) || ':' || (i - 1)
+                       END), '|')) AS span_sig
+            FROM t
         """,
         # ann4 (approximate by design: probe-limited IVF recall < 1,
         # numpy-seeded KMeans not SQL-reproducible; recall vs exact pinned by

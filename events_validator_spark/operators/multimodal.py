@@ -114,3 +114,69 @@ def decode_and_featurize(df: DataFrame, ref_col: str = "media_ref",
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, MEDIA_FEATURES_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Span-sequence invariant (the north rule's per-row equality contract)
+# ---------------------------------------------------------------------------
+
+_SPAN_NULL = "\x01"  # sentinel for NULL text/media_ref inside the signature
+
+
+def span_signature(spans) -> "F.Column":
+    """Canonical per-row signature of an interleaved span sequence: md5 over
+    ``kind:text:media_ref:offset`` pieces joined IN ARRAY ORDER.
+
+    Two rows (or two engines) produce the same signature iff their span
+    sequences are equal element-wise AND in the same order — the north
+    rule's per-row invariant (span-sequence equality on kind/text/media_ref/
+    order) made into one comparable column. NULL payload fields map to a
+    control-char sentinel so 'absent' never collides with a real value.
+    Pure Column expressions; DuckDB reproduces the signature bit-for-bit
+    (driver query mm2)."""
+    piece = F.transform(
+        spans,
+        lambda s: F.concat_ws(
+            ":",
+            F.coalesce(s["kind"], F.lit(_SPAN_NULL)),
+            F.coalesce(s["text"], F.lit(_SPAN_NULL)),
+            F.coalesce(s["media_ref"], F.lit(_SPAN_NULL)),
+            s["offset"].cast("string")))
+    return F.md5(F.concat_ws("|", piece))
+
+
+def span_sequence_violations(df: DataFrame, spans_col: str = "spans",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Violation rows for span sequences that break the interleaving
+    contract: offsets must be exactly 0..n-1 in array order (the 'order'
+    half of the invariant), and each span must carry the payload its kind
+    declares (text spans a text, media spans a media_ref).
+
+    One shuffle-free projection + explode of the (tiny) per-row violation
+    array — scales like the validation pass."""
+    spans = F.col(spans_col)
+    bad_order = F.exists(
+        F.zip_with(spans,
+                   F.sequence(F.lit(0),
+                              F.greatest(F.size(spans) - 1, F.lit(0))),
+                   lambda s, i: s["offset"] != i),
+        lambda x: x)
+    bad_shape = F.exists(
+        spans,
+        lambda s: ((s["kind"] == "text") & s["text"].isNull())
+        | ((s["kind"] == "media") & s["media_ref"].isNull()))
+    v = F.array_compact(F.array(
+        F.when(bad_order & (F.size(spans) > 0), F.struct(
+            F.lit("spans").alias("field"),
+            F.lit("sequence").alias("error_type"),
+            F.lit("offsets 0..n-1 in order").alias("expected"),
+            F.lit("out-of-order span offsets").alias("actual"))),
+        F.when(bad_shape, F.struct(
+            F.lit("spans").alias("field"),
+            F.lit("sequence").alias("error_type"),
+            F.lit("kind-declared payload present").alias("expected"),
+            F.lit("span payload missing for kind").alias("actual"))),
+    ))
+    return (df.select(id_col, F.explode(v).alias("v"))
+            .select(id_col, "v.field", "v.error_type", "v.expected",
+                    "v.actual"))

@@ -283,3 +283,34 @@ def test_dedup_keep_list(spark):
     kept = sorted(r["doc_id"] for r in
                   dedup.dedup_keep_list(df, pairs).collect())
     assert kept == [0, 1, 3, 4, 6]  # 2,5 fold into 1; 7 folds into 6
+
+
+def test_span_sequence_signature_and_violations(spark):
+    """North-rule per-row invariant: the canonical signature is order- and
+    payload-sensitive; the integrity check flags out-of-order offsets and
+    kind/payload mismatches; the synthetic corpus is sequence-clean."""
+    from events_validator_spark.operators import multimodal as mm
+    rows = [
+        ("d_ok", [("text", "hi", None, 0), ("media", None, "media_00000001", 1)]),
+        ("d_swapped", [("media", None, "media_00000001", 0), ("text", "hi", None, 1)]),
+        ("d_badorder", [("text", "hi", None, 1), ("media", None, "media_00000001", 0)]),
+        ("d_badshape", [("text", None, None, 0)]),
+        ("d_empty", []),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    sigs = {r["doc_id"]: r["s"] for r in
+            df.select("doc_id", mm.span_signature(F.col("spans")).alias("s"))
+            .collect()}
+    assert len(set(sigs.values())) == 5  # order + content changes all distinct
+    got = sorted((r["doc_id"], r["actual"])
+                 for r in mm.span_sequence_violations(df).collect())
+    assert got == [("d_badorder", "out-of-order span offsets"),
+                   ("d_badshape", "span payload missing for kind")]
+    # the deterministic generator emits clean sequences (offsets 0..n-1,
+    # text spans carry text unless the injected-anomaly empty string which
+    # is non-null) — except kind-null anomalies which are neither text nor
+    # media and therefore not shape violations
+    docs = interleaved_docs(spark, 3000)
+    assert mm.span_sequence_violations(docs).count() == 0
