@@ -147,3 +147,60 @@ def run_stream_pipeline(spark: SparkSession, source_dir: str, schema,
     q.processAllAvailable()
     q.stop()
     return {"batches": seen["n"], "out_dir": out_dir}
+
+
+def streaming_psi(stream_df: DataFrame, ts_col: str, column: str,
+                  baseline: DataFrame, nbins: int, lo: float, hi: float,
+                  window: str = "1 minute", watermark: str = "5 minutes",
+                  eps: float = 1e-6) -> DataFrame:
+    """Windowed drift monitor: PSI of ``column`` per event-time window
+    against a STATIC baseline histogram → (win, n, psi).
+
+    Streaming shape (SURVEY §2.7 extension):
+      1. watermarked windowed ``groupBy(window, bucket)`` count — the only
+         data-sized stateful operator, state bounded by windows × nbins;
+      2. a CHAINED windowed aggregation over ``window_time`` (multiple
+         stateful operators, Spark ≥3.4) folds each sealed window's ≤nbins
+         bucket rows into (n, collect_list(bucket, cnt));
+      3. a stateless projection computes PSI as Column algebra over the
+         collected (tiny) array against the baseline distribution, which is
+         embedded as driver-side literals (the baseline is nbins numbers —
+         broadcasting a table for it would be ceremony).
+
+    The bucketer is byte-identical to the batch one (stats.histogram /
+    drift.psi_two_cohorts), values clamp to [0, nbins-1], so batch and
+    stream agree on the same data — pinned by tests/test_pipeline.py.
+    """
+    from pyspark.sql.functions import window_time
+
+    base_counts = {int(r["bucket"]): int(r["cnt"]) for r in baseline.collect()}
+    b_tot = sum(base_counts.values()) or 1
+    q = [max(base_counts.get(b, 0) / b_tot, eps) for b in range(nbins)]
+
+    col = F.col(column).cast("double")
+    width = (hi - lo) / nbins or 1.0
+    bucket = F.least(F.greatest(F.floor((col - F.lit(lo)) / F.lit(width)),
+                                F.lit(0)), F.lit(nbins - 1)).cast("int")
+    per_bucket = (stream_df
+                  .where(col.isNotNull())
+                  .withWatermark(ts_col, watermark)
+                  .groupBy(F.window(F.col(ts_col), window).alias("win"),
+                           bucket.alias("bucket"))
+                  .agg(F.count(F.lit(1)).alias("c_cnt")))
+    per_win = (per_bucket
+               .groupBy(F.window(window_time("win"), window).alias("win"))
+               .agg(F.sum("c_cnt").alias("n"),
+                    F.collect_list(F.struct("bucket", "c_cnt")).alias("cur")))
+
+    def p_of(b: int):
+        cnt = F.aggregate(
+            F.filter(F.col("cur"), lambda s: s["bucket"] == b),
+            F.lit(0.0), lambda acc, s: acc + s["c_cnt"])
+        return F.greatest(cnt / F.col("n"), F.lit(eps))
+
+    psi = None
+    for b in range(nbins):
+        p = p_of(b)
+        term = (p - F.lit(q[b])) * F.log(p / F.lit(q[b]))
+        psi = term if psi is None else psi + term
+    return per_win.select("win", "n", F.round(psi, 8).alias("psi"))

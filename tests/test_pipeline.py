@@ -283,3 +283,40 @@ def test_batch_stream_v15_flag_parity(spark, tmp_path):
     s = sorted(map(tuple, spark.read.parquet(s_out + "/violations")
                    .select(*stable).collect()))
     assert b == s and len(b) > 0
+
+
+def test_streaming_psi_matches_batch(spark, tmp_path):
+    """Windowed streaming PSI (chained stateful aggs + literal baseline)
+    must equal the batch PSI of the same window's data vs the same
+    baseline histogram."""
+    from datetime import datetime, timedelta
+    from events_validator_spark.operators.drift import psi_from_histograms
+    from events_validator_spark.operators.stats import histogram
+    from events_validator_spark.streaming.stream import streaming_psi
+
+    base_rows = [(float(i % 10),) for i in range(1000)]          # uniform
+    baseline = histogram(spark.createDataFrame(base_rows, "x double"),
+                         "x", nbins=5, lo=0.0, hi=10.0)
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    cur_rows = ([(t0 + timedelta(seconds=i % 50), float(i % 3))  # skewed low
+                 for i in range(300)]
+                + [(t0 + timedelta(minutes=9), 5.0)])            # seals win 0
+    cur = spark.createDataFrame(cur_rows, "ts timestamp, x double")
+    src = str(tmp_path / "psisrc")
+    cur.write.parquet(src)
+
+    stream = spark.readStream.schema(cur.schema).parquet(src)
+    agg = streaming_psi(stream, "ts", "x", baseline, nbins=5, lo=0.0,
+                        hi=10.0, window="1 minute", watermark="5 minutes")
+    qy = (agg.writeStream.format("memory").queryName("t_psi")
+          .outputMode("append").start())
+    qy.processAllAvailable(); qy.stop()
+    got = {r["win"]["start"].minute: (r["n"], r["psi"])
+           for r in spark.sql("SELECT * FROM t_psi").collect()}
+    assert 0 in got and got[0][0] == 300
+
+    win0 = cur.where(F.col("ts") < datetime(2024, 1, 1, 0, 1, 0))
+    cur_hist = histogram(win0, "x", nbins=5, lo=0.0, hi=10.0)
+    batch_psi = psi_from_histograms(cur_hist, baseline).collect()[0]["psi"]
+    assert abs(got[0][1] - batch_psi) < 1e-6, (got[0][1], batch_psi)
