@@ -92,9 +92,16 @@ def test_hypothesis_differential(spark):
     df = spark.createDataFrame(
         [(i, json.dumps(ev)) for i, ev in enumerate(evs)], ["i", "props"])
     n_checked = 0
-    for rules in uniq.values():
+    for spec_no, rules in enumerate(uniq.values()):
         got = {r["i"]: [tuple(x) for x in r["violations"]]
                for r in validate_json(df, rules, "props").collect()}
+        if spec_no % 3 == 0:
+            # the staged (prebind) and inline paths must agree exactly —
+            # sampled every 3rd spec to bound the extra Spark jobs
+            inline = {r["i"]: [tuple(x) for x in r["violations"]]
+                      for r in validate_json(df, rules, "props",
+                                             prebind=False).collect()}
+            assert inline == got, f"prebind/inline divergence\nrules: {rules!r}"
         for i, ev in enumerate(evs):
             expected = check_with_schema(rules, ev)
             assert got[i] == expected, (
