@@ -82,6 +82,33 @@ class Lakehouse:
             raise ValueError(f"table {table} has no committed snapshots")
         return self.spark.read.parquet(*[s["path"] for s in snaps])
 
+    def read_since(self, table: str,
+                   after: str | None) -> tuple[DataFrame | None, str | None]:
+        """Incremental read: rows appended strictly AFTER snapshot ``after``
+        (None ⇒ everything), up to the current snapshot — the
+        snapshot-checkpoint primitive an incremental validation run keys on
+        (Iceberg's incremental scan between snapshot ids): a resumed
+        consumer validates only new appends, records the returned cursor in
+        its manifest, and re-running with the same cursor re-reads nothing.
+
+        Returns ``(df, cursor)``; ``df`` is None when there is nothing new,
+        and ``cursor`` always names the newest committed snapshot (or
+        ``after`` when the table is unchanged).
+        """
+        snaps = self._load_meta(table)
+        if after is not None:
+            idx = [i for i, s in enumerate(snaps)
+                   if s["snapshot_id"] == after]
+            if not idx:
+                raise ValueError(f"unknown snapshot {after}")
+            new = snaps[idx[0] + 1:]
+        else:
+            new = snaps
+        if not new:
+            return None, after
+        df = self.spark.read.parquet(*[s["path"] for s in new])
+        return df, new[-1]["snapshot_id"]
+
     def snapshots(self, table: str) -> list[dict]:
         return self._load_meta(table)
 
