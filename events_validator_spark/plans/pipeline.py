@@ -234,3 +234,52 @@ def read_outputs(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFram
     violations = spark.read.parquet(os.path.join(out_dir, "violations"))
     verdicts = spark.read.parquet(os.path.join(out_dir, "verdicts"))
     return violations, verdicts
+
+
+def run_incremental(lakehouse, source_table: str, rules: dict, out_dir: str,
+                    event_name: str = "interleaved_doc",
+                    cursor: str | None = None,
+                    log_payload_when_error: bool = False,
+                    log_valid_fields: bool = False) -> dict:
+    """One tick of a continuously-resumable validation loop over an
+    Iceberg-shaped table: validate ONLY the rows appended since ``cursor``
+    (``Lakehouse.read_since``), append violations/verdicts back to the
+    lakehouse, and persist the new cursor in a manifest — crash-and-rerun
+    with the same manifest re-reads nothing (exactly-once per append,
+    pinned by tests/test_pipeline.py).
+
+    Returns {"cursor", "rows", "violations", "snapshot_id"}; rows == 0 means
+    the table was unchanged and nothing was written.
+    """
+    manifest_path = os.path.join(out_dir, "incremental_manifest.json")
+    os.makedirs(out_dir, exist_ok=True)
+    if cursor is None and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            cursor = json.load(f).get("cursor")
+
+    new_df, new_cursor = lakehouse.read_since(source_table, cursor)
+    if new_df is None:
+        return {"cursor": cursor, "rows": 0, "violations": 0,
+                "snapshot_id": None}
+
+    validated = validate_typed(new_df, rules).cache()
+    part_id = f"inc-{new_cursor}"
+    violations = violation_rows(
+        validated, new_df.columns, rules, event_name, part_id, new_cursor,
+        log_payload_when_error=log_payload_when_error,
+        log_valid_fields=log_valid_fields)
+    verdicts = verdict_rows(validated, event_name, part_id, new_cursor)
+    v_snap = lakehouse.append(f"{source_table}_violations", violations)
+    lakehouse.append(f"{source_table}_verdicts", verdicts)
+    n_rows = validated.count()
+    n_viol = int(validated.agg(
+        F.sum(F.size("violations"))).collect()[0][0] or 0)
+    validated.unpersist()
+
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"cursor": new_cursor, "rows": n_rows,
+                   "violations": n_viol, "snapshot_id": v_snap}, f)
+    os.replace(tmp, manifest_path)
+    return {"cursor": new_cursor, "rows": n_rows, "violations": n_viol,
+            "snapshot_id": v_snap}

@@ -347,3 +347,37 @@ def test_lakehouse_incremental_read_since(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         lh.read_since("docs", "snap-nope")
+
+
+def test_run_incremental_exactly_once(spark, tmp_path):
+    """Continuous-resume loop: each tick validates only the new appends;
+    a re-run with the persisted manifest is a no-op; violation rows across
+    ticks cover every appended row exactly once."""
+    from events_validator_spark.plans.pipeline import run_incremental
+    from events_validator_spark.sources.catalog import Lakehouse
+    lh = Lakehouse(spark, str(tmp_path / "ilh"))
+    out = str(tmp_path / "iout")
+    rules = {"doc_id": {"type": "string", "regex": "^doc_[0-9]+$"}}
+
+    def batch(lo, hi, bad=False):
+        pre = "bad_" if bad else "doc_"
+        return spark.range(lo, hi).selectExpr(
+            f"concat('{pre}', id) as doc_id")
+
+    lh.append("docs", batch(0, 50))
+    r1 = run_incremental(lh, "docs", rules, out)
+    assert r1["rows"] == 50 and r1["violations"] == 0
+
+    r_noop = run_incremental(lh, "docs", rules, out)   # unchanged table
+    assert r_noop["rows"] == 0
+
+    lh.append("docs", batch(50, 70, bad=True))         # 20 regex violations
+    r2 = run_incremental(lh, "docs", rules, out)
+    assert r2["rows"] == 20 and r2["violations"] == 20
+    assert r2["cursor"] != r1["cursor"]
+
+    viol, _ = lh.read("docs_violations"), None
+    assert viol.count() == 20
+    verd = lh.read("docs_verdicts")
+    assert verd.count() == 70                          # every row exactly once
+    assert verd.select("doc_id").distinct().count() == 70
