@@ -374,8 +374,15 @@ def q_m2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit; pigeonhole recall is EXACT for hamming ≤ n_tables-1, so the
     LSH output equals the brute-force oracle deterministically."""
     docs = _par(spark, _t(spark, sf_dir, "documents"))
+    # bucket_cap=2048: the default 256 truncates ONE bucket at sf0.1 (269
+    # members measured -> 2 of 512 true pairs dropped). The cap exists to
+    # stop degenerate-corpus quadratic blowups; 2048 keeps worst-case pairs
+    # per bucket bounded (~2M) while giving exactness headroom at every
+    # driver scale factor. At real web scale the exact-oracle claim is not
+    # made (see q_m1 ORACLE SCOPE) and the default cap is the right tool.
     return dedup.simhash_dedup_candidates(docs, bits=60, n_tables=4,
-                                          max_hamming=3, token_hash="md5")
+                                          max_hamming=3, token_hash="md5",
+                                          bucket_cap=2048)
 
 
 def q_m3_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
