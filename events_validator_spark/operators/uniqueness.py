@@ -61,7 +61,10 @@ def salted_collect(df: DataFrame, keys: list[str], payload_col: str,
     spreads over ``n_salts`` reducers — phase 2 flattens the per-salt pieces,
     shuffling pre-compacted arrays instead of raw rows.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+    # row-local salt: spreads a hot key's rows without hashing the (possibly
+    # large) payload columns; the collected MULTISET is salt-invariant, and
+    # collect_list order was never deterministic to begin with
+    salt = F.pmod(F.monotonically_increasing_id(),
                   F.lit(n_salts)).alias("__salt")
     phase1 = (df.select(*keys, F.col(payload_col), salt)
               .groupBy(*keys, "__salt")
