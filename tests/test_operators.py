@@ -314,3 +314,22 @@ def test_span_sequence_signature_and_violations(spark):
     # media and therefore not shape violations
     docs = interleaved_docs(spark, 3000)
     assert mm.span_sequence_violations(docs).count() == 0
+
+
+@pytest.mark.parametrize("sf", ["sf0.01", "sf0.1"])
+def test_m2_simhash_oracle_equality_across_scales(spark, sf):
+    """Guards the round-3 cap fix: the m2 driver query must equal the DuckDB
+    brute-force SimHash oracle at BOTH driver scale factors (at sf0.1 the
+    default bucket_cap=256 used to truncate one 269-member bucket and drop
+    2 of 512 true pairs)."""
+    import duckdb
+    import __spark_entry__ as e
+    sf_dir = f"/root/testdata/{sf}"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    sp = sorted(map(tuple,
+                    e.queries()["m2_simhash_pairs"](spark, sf_dir).collect()))
+    du = sorted(map(tuple,
+                    con.sql(e.oracle_sql()["m2_simhash_pairs"]).fetchall()))
+    assert sp == du and len(sp) > 0
