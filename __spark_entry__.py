@@ -5,7 +5,7 @@
 each callable takes (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/types; aggregates made engine-deterministic via decimal
-arithmetic and explicit rounding): 35 of 38 queries carry an oracle,
+arithmetic and explicit rounding): 36 of 39 queries carry an oracle,
 including the LSH paths m1 (brute-force shingle Jaccard), m2 (md5-based
 SimHash whose 60-bit signature DuckDB reproduces bit-for-bit; pigeonhole
 recall is exact for hamming ≤ n_tables-1), and ann2/ann3 (brute-force
@@ -226,6 +226,15 @@ def q_t3_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return text.fingerprint(docs).select("doc_id", "fp")
+
+
+def q_t7_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate with drop reasons. min_tokens=40 splits the synthetic
+    corpus (token counts 10..99, median ~56) so the oracle discriminates —
+    keep AND drop rows both verified."""
+    docs = _t(spark, sf_dir, "documents")
+    return (text.quality_filter(docs, min_tokens=40)
+            .select("doc_id", "keep", "drop_reasons"))
 
 
 def q_ann1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t2_text_quality": q_t2_text_quality,
         "t3_lang_scores": q_t3_lang_scores,
         "t4_fingerprint": q_t4_fingerprint,
+        "t7_quality_filter": q_t7_quality_filter,
         "ann1_topk": q_ann1_topk,
         "drift1_psi": q_drift1_psi,
         "drift2_ks": q_drift2_ks,
@@ -716,6 +726,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
             FROM documents
+        """,
+        "t7_quality_filter": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                          END AS INTEGER) AS n_tokens,
+                     ROUND(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / GREATEST(len(text), 1), 6) AS alpha_ratio,
+                     ROUND(len(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / GREATEST(len(text), 1), 6) AS digit_ratio,
+                     ROUND(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                           / GREATEST(len(text), 1), 6) AS punct_ratio
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     list_filter([
+                       CASE WHEN n_tokens < 40 THEN 'too_few_tokens' END,
+                       CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
+                       CASE WHEN alpha_ratio < 0.5 THEN 'low_alpha_ratio' END,
+                       CASE WHEN digit_ratio > 0.3 THEN 'high_digit_ratio' END,
+                       CASE WHEN punct_ratio > 0.2 THEN 'high_punct_ratio' END
+                     ], x -> x IS NOT NULL) AS drop_reasons
+              FROM f
+            )
+            SELECT doc_id, len(drop_reasons) = 0 AS keep, drop_reasons
+            FROM r
         """,
         "ann1_topk": r"""
             WITH q AS (

@@ -105,3 +105,33 @@ def rolling_hash_fingerprint(df: DataFrame, text_col: str = "text",
     # sequence(1, 0) would run DESCENDING — guard the empty string explicitly
     return df.withColumn(
         out_col, F.when(F.length(c) == 0, F.lit(0).cast("long")).otherwise(h))
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_tokens: int = 5, max_tokens: int = 100_000,
+                   min_alpha_ratio: float = 0.5,
+                   max_digit_ratio: float = 0.3,
+                   max_punct_ratio: float = 0.2) -> DataFrame:
+    """Training-data quality gate: per document, every threshold verdict plus
+    an overall ``keep`` flag — one shuffle-free projection over
+    :func:`quality_features`'s signals.
+
+    Emits the REASONS, not just the survivors (``drop_reasons``:
+    array<string>): at corpus scale the drop distribution is the thing you
+    audit before trusting a filter — a silent 40% drop from one rule is a
+    bug report, not a cleaning step. Filter with ``.where("keep")``; audit
+    with ``groupBy(explode(drop_reasons))``.
+    """
+    q = quality_features(df, text_col)
+    checks = [
+        ("too_few_tokens", F.col("n_tokens") < min_tokens),
+        ("too_many_tokens", F.col("n_tokens") > max_tokens),
+        ("low_alpha_ratio", F.col("alpha_ratio") < min_alpha_ratio),
+        ("high_digit_ratio", F.col("digit_ratio") > max_digit_ratio),
+        ("high_punct_ratio", F.col("punct_ratio") > max_punct_ratio),
+    ]
+    reasons = F.array_compact(F.array(
+        *[F.when(cond, F.lit(name)) for name, cond in checks]))
+    return (q.withColumn("drop_reasons", reasons)
+            .withColumn("keep", F.size("drop_reasons") == 0))

@@ -333,3 +333,19 @@ def test_m2_simhash_oracle_equality_across_scales(spark, sf):
     du = sorted(map(tuple,
                     con.sql(e.oracle_sql()["m2_simhash_pairs"]).fetchall()))
     assert sp == du and len(sp) > 0
+
+
+def test_quality_filter_reasons(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "hi"),                                  # too few tokens
+         (3, "1 2 3 4 5 6 7 8 9 10 11 12"),         # digits
+         (4, "!!! ??? ... ;;; ::: @@@ ### $$$ %%%"),  # punct + alpha
+         ], ["doc_id", "text"])
+    got = {r["doc_id"]: (r["keep"], sorted(r["drop_reasons"]))
+           for r in text.quality_filter(df, min_tokens=3).collect()}
+    assert got[1] == (True, [])
+    assert got[2] == (False, ["too_few_tokens"])
+    assert got[3][0] is False and "high_digit_ratio" in got[3][1]
+    assert got[4][0] is False and "high_punct_ratio" in got[4][1] \
+        and "low_alpha_ratio" in got[4][1]
