@@ -265,7 +265,12 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
     e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
     edges = (e.unionByName(e.select(F.col("y").alias("x"),
                                     F.col("x").alias("y")))
-             .distinct())
+             .distinct()
+             # materialize ONCE: the edge list is referenced in every
+             # iteration (propagation join + convergence probe) and would
+             # otherwise re-run its source scan + distinct per round — the
+             # audit showed 84 Exchanges in the final plan without this
+             .localCheckpoint())
     labels = (edges.select("x").distinct()
               .select(F.col("x").alias("id"), F.col("x").alias("comp")))
     for it in range(max_iter):
