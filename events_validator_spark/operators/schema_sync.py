@@ -332,3 +332,43 @@ def save_schema_report(schema: dict, dir_path: str, event_name: str) -> str:
         f.write(export_schema_report(schema))
     os.replace(tmp, path)
     return path
+
+
+def clean_repo_types(repo: dict) -> dict:
+    """Load-time repo normalization (repo.py:24-42 ``clean_repo_types``):
+    numeric values stored as strings coerce to int/float — top-level AND
+    inside array nestedSchema entries; blank and non-castable strings pass
+    through untouched (the reference's except-pass). Mutates and returns."""
+    def fix(p: dict) -> None:
+        if p.get("type") == "number" and "value" in p:
+            val = p["value"]
+            if isinstance(val, str) and val.strip() != "":
+                try:
+                    p["value"] = float(val) if "." in val else int(val)
+                except ValueError:
+                    pass
+    for param in repo.values():
+        if not isinstance(param, dict):
+            continue
+        fix(param)
+        if param.get("type") == "array" and isinstance(
+                param.get("nestedSchema"), dict):
+            for n_param in param["nestedSchema"].values():
+                if isinstance(n_param, dict):
+                    fix(n_param)
+    return repo
+
+
+def load_repo(dir_path: str) -> dict:
+    """Read ``repo.json`` and apply the reference's load-time type
+    normalization (``ensure_repo_loaded``, repo.py:44-48). Pairs with
+    :func:`save_repo` for the full round trip."""
+    with open(os.path.join(dir_path, "repo.json")) as f:
+        return clean_repo_types(json.load(f))
+
+
+def available_categories(repo: dict) -> list[str]:
+    """Sorted distinct param categories (repo.py:50-56): params without a
+    category are excluded, matching the reference's truthiness filter."""
+    return sorted({p.get("category") for p in repo.values()
+                   if isinstance(p, dict) and p.get("category")})

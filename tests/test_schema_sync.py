@@ -281,3 +281,29 @@ def test_schema_health_raw_fallback_for_noncastable_numbers(spark):
     # python twin agrees (single except-fallback like updater.py:186-192)
     h = ss.check_schema_health(rules_by_name["e"], repo)
     assert h == {"critical": [], "minor": ["a"]}
+
+
+def test_clean_repo_types_load_time_normalization(tmp_path):
+    """Port of repo.py:24-48: numeric strings coerce on load (top-level and
+    nested), junk/blank strings pass through, round trip via save_repo."""
+    repo = {
+        "price": {"type": "number", "value": "3.5"},
+        "count": {"type": "number", "value": "7"},
+        "junk": {"type": "number", "value": "abc"},
+        "blank": {"type": "number", "value": "  "},
+        "items": {"type": "array", "nestedSchema": {
+            "qty": {"type": "number", "value": "2"},
+            "name": {"type": "string", "value": "5"},  # not a number param
+        }},
+    }
+    ss.save_repo(repo, str(tmp_path))
+    loaded = ss.load_repo(str(tmp_path))
+    assert loaded["price"]["value"] == 3.5
+    assert loaded["count"]["value"] == 7
+    assert loaded["junk"]["value"] == "abc"
+    assert loaded["blank"]["value"] == "  "
+    assert loaded["items"]["nestedSchema"]["qty"]["value"] == 2
+    assert loaded["items"]["nestedSchema"]["name"]["value"] == "5"
+    assert ss.available_categories(
+        {"a": {"category": "ecom"}, "b": {"category": "core"},
+         "c": {}, "d": {"category": ""}}) == ["core", "ecom"]
