@@ -372,3 +372,96 @@ def available_categories(repo: dict) -> list[str]:
     category are excluded, matching the reference's truthiness filter."""
     return sorted({p.get("category") for p in repo.values()
                    if isinstance(p, dict) and p.get("category")})
+
+
+def convert_export_to_internal(export: dict) -> dict:
+    """Export-format schema document → the reference's internal (editor)
+    model (helpers.py:41-98 ``convert_export_to_internal``): id-keyed fields
+    with ids 0/1 pinned to event_name/version, sequential ids for the rest,
+    every field carrying key/type/value/regex/description (absent → ''/0),
+    array nestedSchema re-keyed by ordinal."""
+    internal: dict = {}
+    raw_event = export.get("event_name", {}) or {}
+    internal[0] = {"key": "event_name", "type": "string",
+                   "value": raw_event.get("value", ""),
+                   "description": raw_event.get("description", "")}
+    raw_version = export.get("version", {}) or {}
+    internal[1] = {"key": "version", "type": "number",
+                   "value": raw_version.get("value", 0),
+                   "description": raw_version.get("description", "")}
+    next_id = 2
+    for key, props in export.items():
+        if key in RESERVED_KEYS:
+            continue
+        if not isinstance(props, dict):
+            props = {}
+        field = {"key": key, "type": props.get("type", ""),
+                 "value": props.get("value", ""),
+                 "regex": props.get("regex", ""),
+                 "description": props.get("description", "")}
+        if props.get("type") == "array" and "nestedSchema" in props:
+            field["nestedSchema"] = {
+                i: {"key": nk, "type": np_.get("type", ""),
+                    "value": np_.get("value", ""),
+                    "regex": np_.get("regex", ""),
+                    "description": np_.get("description", "")}
+                for i, (nk, np_) in enumerate(props["nestedSchema"].items())}
+        internal[next_id] = field
+        next_id += 1
+    return internal
+
+
+def export_internal_schema(internal: dict) -> dict:
+    """Internal (editor) model → export-format document (helpers.py:102-178
+    ``export_schema``, as a pure function of the internal dict): blank keys
+    skipped, sentinel values ('', None, [], 'Any') dropped, numeric strings
+    coerced with the reference's except-pass, top-level ARRAY fields carry
+    NO value/regex (only type/description/nestedSchema), nested entries keep
+    regex only when truthy."""
+    def coerce_num(typ, val):
+        if typ == "number" and isinstance(val, str):
+            try:
+                return float(val) if "." in val else int(val)
+            except ValueError:
+                return val
+        return val
+
+    export: dict = {}
+    ev = internal.get(0, {})
+    export["event_name"] = {"type": "string", "value": ev.get("value", ""),
+                            "description": ev.get("description", "")}
+    ver = internal.get(1, {})
+    export["version"] = {"type": "number", "value": ver.get("value", 0),
+                         "description": ver.get("description", "")}
+    for field_id in sorted(k for k in internal if isinstance(k, int)):
+        if field_id < 2:
+            continue
+        field = internal[field_id]
+        key = str(field.get("key", "")).strip()
+        if not key:
+            continue
+        props = {"type": field.get("type", ""),
+                 "description": field.get("description", "")}
+        if field.get("type") != "array":
+            val = field.get("value")
+            if val not in ("", None, [], "Any"):
+                props["value"] = coerce_num(field.get("type"), val)
+            if field.get("regex") not in ("", None, []):
+                props["regex"] = field["regex"]
+        if field.get("type") == "array" and "nestedSchema" in field:
+            nested_export = {}
+            for nested in field["nestedSchema"].values():
+                nk = str(nested.get("key", "")).strip()
+                if not nk:
+                    continue
+                np_ = {"type": nested.get("type", ""),
+                       "description": nested.get("description", "")}
+                if nested.get("regex"):
+                    np_["regex"] = nested["regex"]
+                nv = nested.get("value")
+                if nv not in ("", None, [], "Any"):
+                    np_["value"] = coerce_num(nested.get("type"), nv)
+                nested_export[nk] = np_
+            props["nestedSchema"] = nested_export
+        export[key] = props
+    return export

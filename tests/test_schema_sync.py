@@ -307,3 +307,48 @@ def test_clean_repo_types_load_time_normalization(tmp_path):
     assert ss.available_categories(
         {"a": {"category": "ecom"}, "b": {"category": "core"},
          "c": {}, "d": {"category": ""}}) == ["core", "ecom"]
+
+
+def test_editor_model_round_trip_on_ga4():
+    """convert_export_to_internal / export_internal_schema are each other's
+    inverse on normalized export documents: round-tripping every GA4 seed
+    schema through the editor model is a fixed point (the reference's own
+    save path), and the editor normalizations (blank-key skip, sentinel
+    drop, numeric coercion, array value/regex drop) match helpers.py."""
+    import glob
+    import json as _json
+    files = sorted(glob.glob(
+        "/root/reference/terraform_backend/src/GA4 Recommended/schemas/*.json"))
+    assert len(files) >= 30
+    for path in files:
+        with open(path) as f:
+            export = _json.load(f)
+        internal = ss.convert_export_to_internal(export)
+        back = ss.export_internal_schema(internal)
+        for key, props in export.items():
+            if key in ("event_name", "version"):
+                continue
+            got = back[key]
+            assert got.get("type", "") == props.get("type", ""), (path, key)
+            assert got.get("value") == props.get("value"), (path, key)
+            assert got.get("regex") == props.get("regex"), (path, key)
+            if "nestedSchema" in props:
+                assert set(got["nestedSchema"]) == set(props["nestedSchema"])
+    # editor normalizations on a crafted internal doc
+    internal = {
+        0: {"key": "event_name", "value": "e", "description": ""},
+        1: {"key": "version", "value": 1, "description": ""},
+        2: {"key": "  ", "type": "string"},                    # blank: skipped
+        3: {"key": "n", "type": "number", "value": "2.5"},     # coerced
+        4: {"key": "s", "type": "string", "value": "Any"},     # sentinel drop
+        5: {"key": "a", "type": "array", "value": "x",         # array: no value
+            "regex": "^x$", "nestedSchema": {
+                0: {"key": "k", "type": "number", "value": "3"},
+                1: {"key": "", "type": "string"}}},            # blank nested
+    }
+    out = ss.export_internal_schema(internal)
+    assert "  " not in out and out["n"]["value"] == 2.5
+    assert "value" not in out["s"]
+    assert "value" not in out["a"] and "regex" not in out["a"]
+    assert out["a"]["nestedSchema"] == {
+        "k": {"type": "number", "description": "", "value": 3}}
