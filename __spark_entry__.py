@@ -231,10 +231,14 @@ def q_t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_t7_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gate with drop reasons. min_tokens=40 splits the synthetic
     corpus (token counts 10..99, median ~56) so the oracle discriminates —
-    keep AND drop rows both verified."""
+    keep AND drop rows both verified. drop_reasons is emitted as a sorted
+    comma-joined scalar (VERDICT r3: the driver's hash canonicalizer cannot
+    sort an array<string> column — pandas factorize dies on lists)."""
     docs = _t(spark, sf_dir, "documents")
     return (text.quality_filter(docs, min_tokens=40)
-            .select("doc_id", "keep", "drop_reasons"))
+            .select("doc_id", "keep",
+                    F.array_join(F.array_sort("drop_reasons"), ",")
+                    .alias("drop_reasons")))
 
 
 def q_ann1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,13 +359,28 @@ def q_ann3_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k at n_probe=5/8 cells — the probe budget whose recall on the
-    (IVF-hostile, near-orthogonal) random test corpus is pinned >= 0.8 by
+    """IVF top-k over the corpus augmented with 5 planted exact duplicates of
+    each query vector (ids 2e6 + qid*10 + j) — the ann2/ann3 trick applied to
+    IVF (VERDICT r3 #5): a duplicate of the query is assigned by KMeans to the
+    query's own nearest cell, which IVF probes FIRST at any n_probe >= 1, so
+    planted recall is provably 1.0 regardless of codebook quality; their
+    cosine (exactly 1.0) is the per-query maximum, so exact top-5 = the 5
+    planted ids in id order — brute-force DuckDB-comparable. The honest
+    recall-at-n_probe story on the unaugmented corpus stays pinned by
     tests/test_operators.py::test_ivf_topk_recall_vs_exact_sf001."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     queries = (emb.where(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return similarity.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=5)
+    planted = (emb.where(F.col("vec_id") < 5)
+               .select(F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"),
+                       "vec_id", "embedding")
+               .select((F.lit(2_000_000) + F.col("vec_id") * 10
+                        + F.col("j")).cast("long").alias("vec_id"),
+                       "embedding"))
+    aug = emb.unionByName(planted)
+    out = similarity.ivf_topk(aug, queries, k=5, n_cells=8, n_probe=5)
+    return out.select("query_id", "neighbor_id", "rank")
 
 
 def q_m1_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -751,7 +770,11 @@ def oracle_sql() -> dict[str, str]:
                      ], x -> x IS NOT NULL) AS drop_reasons
               FROM f
             )
-            SELECT doc_id, len(drop_reasons) = 0 AS keep, drop_reasons
+            -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+            -- array_join(empty) is '' — normalize to ''
+            SELECT doc_id, len(drop_reasons) = 0 AS keep,
+                   COALESCE(array_to_string(list_sort(drop_reasons), ','), '')
+                     AS drop_reasons
             FROM r
         """,
         "ann1_topk": r"""
@@ -1012,20 +1035,53 @@ def oracle_sql() -> dict[str, str]:
                      END AS toks
               FROM documents
             )
+            -- mirrors multimodal._span_field's injective length-prefix
+            -- encoding: NULL -> 'N', value -> '<len>#<value>' (ADVICE r3)
             SELECT doc_id,
                    md5(array_to_string(
                      list_transform(range(1, len(toks) + 1), i ->
                        CASE WHEN (i - 1) % 2 = 0
-                         THEN 'text:' || toks[i] || ':' || chr(1) || ':'
-                              || (i - 1)
-                         ELSE 'media:' || chr(1) || ':media_'
-                              || substr(md5(toks[i]), 1, 8) || ':' || (i - 1)
+                         THEN '4#text'
+                              || len(toks[i])::VARCHAR || '#' || toks[i]
+                              || 'N'
+                              || len((i - 1)::VARCHAR)::VARCHAR || '#'
+                              || (i - 1)::VARCHAR
+                         ELSE '5#media'
+                              || 'N'
+                              || '14#media_' || substr(md5(toks[i]), 1, 8)
+                              || len((i - 1)::VARCHAR)::VARCHAR || '#'
+                              || (i - 1)::VARCHAR
                        END), '|')) AS span_sig
             FROM t
         """,
-        # ann4 (approximate by design: probe-limited IVF recall < 1,
-        # numpy-seeded KMeans not SQL-reproducible; recall vs exact pinned by
-        # tests/test_operators.py), drift3 (t-digest sketch), validate_docs
-        # (synthetic generated input, not an sf parquet table) — no SQL
-        # oracle; driver records rows-only; semantics pinned by tests/.
+        "ann4_ivf_topk": r"""
+            WITH aug AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+              FROM embeddings
+              UNION ALL
+              SELECT CAST(2000000 + vec_id * 10 + j AS BIGINT),
+                     CAST(embedding AS DOUBLE[])
+              FROM embeddings
+              CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS j)
+              WHERE vec_id < 5
+            ), q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+              SELECT q.query_id, a.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, a.embedding) AS sim
+              FROM aug a CROSS JOIN q
+              WHERE a.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        # drift3 (t-digest sketch — approximate by design, math pinned vs
+        # numpy by tests/test_drift.py) — no SQL oracle; driver records
+        # rows-only; semantics pinned by tests/.
     }

@@ -131,14 +131,19 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Exact shingle-Jaccard for given (id_a, id_b) pairs → (id_a, id_b, jaccard).
 
-    The pair set is assumed small (LSH output) → broadcast it; texts are
-    fetched with two semi-joined projections, never a corpus self-join.
+    Texts are fetched with two id-keyed projections, never a corpus
+    self-join. No hard broadcast hint (VERDICT r3 #3): at web scale the
+    near-dup pair set is O(corpus) — 30-50% of a 100 TB crawl is near-dup —
+    so a forced broadcast is a guaranteed OOM. AQE broadcasts automatically
+    whenever the pair set fits under the autoBroadcastJoinThreshold
+    (session.py sets 64 MB), and falls back to a shuffle join keyed on ids —
+    still pair-set-sized, never corpus² — when it does not.
     """
     sh = df.select(F.col(id_col).alias("id"),
                    shingles(F.col(text_col), k).alias("sh"))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (F.broadcast(pairs).join(a, "id_a").join(b, "id_b")
+    return (pairs.join(a, "id_a").join(b, "id_b")
             .select("id_a", "id_b",
                     F.round(
                         F.size(F.array_intersect("sh_a", "sh_b")) /
@@ -250,17 +255,25 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
     closed (a~b, b~c ⇒ {a,b,c} is one cluster even when a~c was never
     emitted by LSH).
 
-    Distributed min-label propagation: each iteration joins the (symmetric)
-    edge list against current labels and takes the per-node min — pure
-    shuffle algebra, no driver-side graph. Iterations ≈ cluster diameter
-    (tiny for dedup graphs: near-dup clusters are dense). Lineage is
-    truncated with ``localCheckpoint`` every ``checkpoint_every`` rounds —
-    without it the plan doubles per iteration and analysis time explodes at
-    ~15 rounds. Convergence is detected by a changed-row probe (monotone:
-    labels only ever decrease). For web-scale graphs with long chains,
-    alternate large-star/small-star (Kiveris et al.) — same join algebra,
-    fewer rounds; this direct form is the right tool for dedup-shaped
-    (dense, small-diameter) graphs.
+    Distributed min-label propagation WITH pointer jumping: each iteration
+    (1) joins the (symmetric) edge list against current labels and takes the
+    per-node min (one hop through the graph), then (2) shortcuts every label
+    to its label's label (``comp → label(comp)``) — the classic pointer-
+    doubling step, which halves the remaining distance to each component's
+    min every round. Combined, convergence is O(log diameter) joins instead
+    of O(diameter): a 60-node chain closes in ~7 rounds (pinned by
+    tests/test_operators.py::test_connected_components_long_chain), where
+    plain propagation needs 59. Pure shuffle algebra, no driver-side graph.
+
+    Lineage is truncated with ``localCheckpoint`` every ``checkpoint_every``
+    rounds — without it the plan doubles per iteration and analysis time
+    explodes at ~15 rounds. Convergence is detected by a changed-row probe
+    (monotone: labels only ever decrease). If the probe still reports
+    changes after ``max_iter`` rounds this RAISES rather than returning
+    silently-split components (ADVICE r3): a partial labeling makes
+    ``dedup_keep_list`` keep several representatives of one cluster with no
+    signal. With pointer jumping, hitting the default cap needs a graph of
+    diameter ~2^25 — not a thing near-dup graphs do.
     """
     e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
     edges = (e.unionByName(e.select(F.col("y").alias("x"),
@@ -273,11 +286,22 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
              .localCheckpoint())
     labels = (edges.select("x").distinct()
               .select(F.col("x").alias("id"), F.col("x").alias("comp")))
+    changed = 1
     for it in range(max_iter):
         prop = (edges.join(labels, edges["y"] == labels["id"])
                 .select(edges["x"].alias("id"), F.col("comp")))
-        new_labels = (labels.unionByName(prop)
-                      .groupBy("id").agg(F.min("comp").alias("comp")))
+        hop = (labels.unionByName(prop)
+               .groupBy("id").agg(F.min("comp").alias("comp")))
+        # pointer jumping: comp → label(comp). Every comp is itself a node
+        # id, so the left join always hits; labels are monotone decreasing,
+        # so label(comp) <= comp and least() is belt-and-braces.
+        parent = hop.select(F.col("id").alias("comp"),
+                            F.col("comp").alias("__pcomp"))
+        new_labels = (hop.join(parent, "comp", "left")
+                      .select("id",
+                              F.least(F.col("comp"),
+                                      F.coalesce(F.col("__pcomp"),
+                                                 F.col("comp"))).alias("comp")))
         if (it + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint()
         changed = (new_labels.alias("n")
@@ -287,16 +311,26 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds — labels are partial and components would be silently "
+            "split; raise max_iter (convergence needs ~log2(graph diameter) "
+            "rounds with pointer jumping)")
     return labels
 
 
 def dedup_keep_list(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                     a: str = "id_a", b: str = "id_b") -> DataFrame:
     """Rows of ``df`` surviving near-dup removal: one representative (the min
-    id) per connected component, everything unpaired untouched. The pair set
-    is LSH output (small) → components broadcast back; the corpus never
-    self-joins."""
+    id) per connected component, everything unpaired untouched.
+
+    The anti-join carries NO broadcast hint (VERDICT r3 #3): the drop list is
+    O(duplicate fraction × corpus) — at web scale 30-50% of all ids, far past
+    any broadcast budget. AQE broadcasts it when it is actually small (under
+    session.py's 64 MB threshold) and otherwise runs a shuffled anti-join on
+    the id key, which is the correct 100 TB plan."""
     comp = connected_components(pairs, a, b)
     drop = comp.where(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col))
-    return df.join(F.broadcast(drop), on=id_col, how="left_anti")
+    return df.join(drop, on=id_col, how="left_anti")

@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from events_validator_spark.functions.tdigest import TDigest
@@ -74,19 +75,27 @@ def grouped_digests(df: DataFrame, column: str, group_col: str,
     (t-digest merge is associative). This is the 10^12-row quantile path;
     raise ``n_salts`` until group_size/n_salts fits an Arrow batch.
 
-    Salting (ADVICE r2): the salt hashes the FULL ROW content by default —
-    NOT the value. Value-hash salting collapses to one sub-group exactly in
-    the skewed case this path exists for (a heavy-hitter or constant column);
+    Salting (ADVICE r2): the salt hashes the ROW content by default — NOT
+    the value. Value-hash salting collapses to one sub-group exactly in the
+    skewed case this path exists for (a heavy-hitter or constant column);
     row-content hashing spreads whenever any other column varies (every real
     table carries an id/timestamp). Results stay deterministic across
     parallelism: sub-group membership depends only on row values, never on
     partitioning, and the merge is order-insensitive at digest granularity.
     Pass ``salt_cols`` (e.g. a unique doc_id) to pin the spread to a stable
-    row key — required only when FULLY-identical rows dominate a group.
+    row key — required only when FULLY-identical rows dominate a group, and
+    recommended on WIDE tables: the default hashes every hashable column,
+    which defeats column pruning at the scan. Unhashable column types (map,
+    variant — xxhash64 raises on them) are excluded from the default salt
+    automatically (ADVICE r3).
     """
     agg = tdigest_udaf(delta)
     mrg = tdigest_merge_udaf(delta)
-    cols = salt_cols if salt_cols else df.columns
+    cols = salt_cols if salt_cols else [
+        f.name for f in df.schema.fields
+        if not isinstance(f.dataType, (T.MapType, T.VariantType))]
+    if not cols:  # all-map table: fall back to value+group (documented trade)
+        cols = [column, group_col]
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.lit(7)),
                   F.lit(n_salts))
     partial = (df.groupBy(F.col(group_col).alias("grp"), salt.alias("__salt"))

@@ -120,28 +120,37 @@ def decode_and_featurize(df: DataFrame, ref_col: str = "media_ref",
 # Span-sequence invariant (the north rule's per-row equality contract)
 # ---------------------------------------------------------------------------
 
-_SPAN_NULL = "\x01"  # sentinel for NULL text/media_ref inside the signature
+def _span_field(c) -> "F.Column":
+    """Injective field encoding: NULL → ``N``; a value → ``<len>#<value>``.
+
+    Length-prefixing makes the concatenation prefix-free decodable, so NO
+    payload content (``:``, ``|``, control chars, even a literal ``N`` or
+    ``7#``) can make two distinct span sequences collide (ADVICE r3: the old
+    ``:``-joined form was forgeable and silently dropped NULL offsets)."""
+    return F.when(c.isNull(), F.lit("N")).otherwise(
+        F.concat(F.length(c).cast("string"), F.lit("#"), c))
 
 
 def span_signature(spans) -> "F.Column":
     """Canonical per-row signature of an interleaved span sequence: md5 over
-    ``kind:text:media_ref:offset`` pieces joined IN ARRAY ORDER.
+    length-prefix-encoded ``kind/text/media_ref/offset`` pieces joined IN
+    ARRAY ORDER.
 
     Two rows (or two engines) produce the same signature iff their span
     sequences are equal element-wise AND in the same order — the north
     rule's per-row invariant (span-sequence equality on kind/text/media_ref/
-    order) made into one comparable column. NULL payload fields map to a
-    control-char sentinel so 'absent' never collides with a real value.
-    Pure Column expressions; DuckDB reproduces the signature bit-for-bit
-    (driver query mm2)."""
+    order) made into one comparable column. The per-field encoding is
+    injective (see :func:`_span_field`): NULL never collides with a real
+    value, and separator characters inside payloads cannot forge a span
+    boundary. Pure Column expressions; DuckDB reproduces the signature
+    bit-for-bit (driver query mm2)."""
     piece = F.transform(
         spans,
-        lambda s: F.concat_ws(
-            ":",
-            F.coalesce(s["kind"], F.lit(_SPAN_NULL)),
-            F.coalesce(s["text"], F.lit(_SPAN_NULL)),
-            F.coalesce(s["media_ref"], F.lit(_SPAN_NULL)),
-            s["offset"].cast("string")))
+        lambda s: F.concat(
+            _span_field(s["kind"]),
+            _span_field(s["text"]),
+            _span_field(s["media_ref"]),
+            _span_field(s["offset"].cast("string"))))
     return F.md5(F.concat_ws("|", piece))
 
 

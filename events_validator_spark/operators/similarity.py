@@ -53,20 +53,6 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     F.round("sim", 6).alias("sim")))
 
 
-def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
-    """Vectorized signature: sign bits of E @ R packed into a long."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
-    weights = (1 << np.arange(n_planes)).astype(np.int64)
-
-    @pandas_udf("long")
-    def sig(v: pd.Series) -> pd.Series:
-        mat = np.vstack(v.to_numpy())          # (batch, dim) via Arrow
-        bits = (mat @ planes) > 0              # (batch, n_planes)
-        return pd.Series((bits @ weights).astype(np.int64))
-    return sig
-
-
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", dim: int = 64,
@@ -184,8 +170,10 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.9,
     Buckets are capped via :func:`~events_validator_spark.operators.dedup.
     capped_buckets` (deterministic truncation, counted not silent), so a
     degenerate corpus cannot go quadratic; candidates are exact-verified by
-    cosine with vectors fetched through two broadcast joins — never a corpus
-    self-join.
+    cosine with vectors fetched through two id-keyed joins — never a corpus
+    self-join. No hard broadcast hint on the pair set (VERDICT r3 #3): it is
+    O(near-dup fraction × corpus); AQE broadcasts it when it fits under
+    session.py's 64 MB threshold, otherwise shuffles on the id keys.
     """
     from events_validator_spark.operators.dedup import capped_buckets, pairs_expr
     sig = hyperplane_signatures_udf(dim, n_planes, n_tables, seed)
@@ -197,7 +185,7 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.9,
              .distinct())
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (F.broadcast(pairs).join(a, "id_a").join(b, "id_b")
+    return (pairs.join(a, "id_a").join(b, "id_b")
             .select("id_a", "id_b",
                     F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
             .where(F.col("cos") >= threshold))

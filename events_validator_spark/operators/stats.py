@@ -154,8 +154,15 @@ def exact_quantiles(df: DataFrame, column: str,
     if n_partitions is None:
         n_partitions = int(df.sparkSession.conf.get(
             "spark.sql.shuffle.partitions"))
+    # PIN the partition assignment (ADVICE r3): `local` and `totals` both
+    # derive from r, and repartitionByRange SAMPLES its boundaries per
+    # execution — without materialization, correctness would silently depend
+    # on Catalyst reusing the exchange (broken by exchangeReuse=false, AQE
+    # replan, or a stage retry), joining pid-keyed offsets against a
+    # DIFFERENT partitioning. localCheckpoint makes pid a stable fact.
     r = (g.repartitionByRange(n_partitions, "x")
-         .withColumn("pid", F.spark_partition_id()))
+         .withColumn("pid", F.spark_partition_id())
+         .localCheckpoint())
     wp = (Window.partitionBy("pid").orderBy("x")
           .rowsBetween(Window.unboundedPreceding, 0))
     local = r.select("x", "pid", F.sum("c").over(wp).alias("lc"))

@@ -44,11 +44,13 @@ def duplicate_rows(df: DataFrame, keys: list[str],
                    n_salts: int = 32) -> DataFrame:
     """All rows whose key is duplicated, annotated with dup_count.
 
-    The dup-key set is typically tiny relative to the table → broadcast it
-    back instead of a full shuffle join of the fact table against itself.
+    No hard broadcast hint (VERDICT r3 #3): the dup-key set is usually tiny,
+    but on a pathological table it is O(distinct keys). AQE broadcasts it
+    when it fits (session.py's 64 MB threshold) and otherwise shuffles on the
+    key columns — never a fact-table self-join either way.
     """
     dups = duplicate_keys(df, keys, n_salts)
-    return df.join(F.broadcast(dups), on=keys, how="inner")
+    return df.join(dups, on=keys, how="inner")
 
 
 def salted_collect(df: DataFrame, keys: list[str], payload_col: str,

@@ -248,6 +248,14 @@ def run_incremental(lakehouse, source_table: str, rules: dict, out_dir: str,
     with the same manifest re-reads nothing (exactly-once per append,
     pinned by tests/test_pipeline.py).
 
+    Exactly-once holds ACROSS CRASHES, not just clean reruns (ADVICE r3):
+    each output append is committed with the source cursor stamped in its
+    snapshot metadata, so a rerun that re-reads the same source window
+    (crash after append, before the manifest ``os.replace``) detects the
+    already-committed batch on each output table independently and skips
+    re-appending it — the crash window between the two appends and between
+    append and manifest write are both covered.
+
     Returns {"cursor", "rows", "violations", "snapshot_id"}; rows == 0 means
     the table was unchanged and nothing was written.
     """
@@ -269,8 +277,17 @@ def run_incremental(lakehouse, source_table: str, rules: dict, out_dir: str,
         log_payload_when_error=log_payload_when_error,
         log_valid_fields=log_valid_fields)
     verdicts = verdict_rows(validated, event_name, part_id, new_cursor)
-    v_snap = lakehouse.append(f"{source_table}_violations", violations)
-    lakehouse.append(f"{source_table}_verdicts", verdicts)
+    stamp = {"source_cursor": new_cursor}
+    viol_table = f"{source_table}_violations"
+    verd_table = f"{source_table}_verdicts"
+    # idempotence probe per output table: a previous run that crashed after
+    # committing this batch left its cursor stamp on the newest snapshot
+    if lakehouse.snapshot_meta(viol_table).get("source_cursor") == new_cursor:
+        v_snap = lakehouse.current_snapshot(viol_table)
+    else:
+        v_snap = lakehouse.append(viol_table, violations, meta=stamp)
+    if lakehouse.snapshot_meta(verd_table).get("source_cursor") != new_cursor:
+        lakehouse.append(verd_table, verdicts, meta=stamp)
     n_rows = validated.count()
     n_viol = int(validated.agg(
         F.sum(F.size("violations"))).collect()[0][0] or 0)

@@ -28,6 +28,26 @@ from pyspark.sql import functions as F  # noqa: F401
 
 
 class Lakehouse:
+    """Iceberg-shaped table contract. A real Iceberg binding must implement
+    exactly THREE methods with these semantics (the swap is mechanical —
+    tests/test_pipeline.py::test_lakehouse_interface_conformance is the
+    executable spec any implementation must pass):
+
+    * ``append(table, df, meta=None) -> snapshot_id`` — atomic commit; the
+      returned id names the commit; ``meta`` (e.g. the source cursor) rides
+      the commit itself (Iceberg: snapshot summary properties via
+      ``df.writeTo(t).option("snapshot-property.X", v).append()``), so a
+      crash can never separate data from its provenance stamp;
+    * ``read(table, as_of=None)`` — current state, or time-travel to a
+      snapshot id (Iceberg: ``VERSION AS OF``);
+    * ``read_since(table, after) -> (df | None, cursor)`` — rows appended
+      strictly after snapshot ``after`` (Iceberg: incremental scan with
+      ``start-snapshot-id``/``end-snapshot-id``), plus the new cursor.
+
+    ``snapshots``/``current_snapshot``/``snapshot_meta`` are derived
+    conveniences over the same snapshot log (Iceberg: the ``.snapshots``
+    metadata table)."""
+
     def __init__(self, spark: SparkSession, root: str,
                  use_iceberg: bool = False):
         self.spark = spark
@@ -58,14 +78,20 @@ class Lakehouse:
         os.replace(tmp, p)  # atomic on POSIX
 
     # -- public (Iceberg-shaped) ---------------------------------------------
-    def append(self, table: str, df: DataFrame) -> str:
-        """Write data, then commit — readers never see a partial append."""
+    def append(self, table: str, df: DataFrame,
+               meta: dict | None = None) -> str:
+        """Write data, then commit — readers never see a partial append.
+
+        ``meta`` is stored ON the snapshot entry (Iceberg: snapshot summary
+        properties), making the commit self-describing: an incremental
+        writer stamps its source cursor here, and a crashed-then-rerun tick
+        can detect an already-committed batch without a side channel."""
         snapshot_id = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:6]}"
         data_dir = os.path.join(self.root, table, snapshot_id)
         df.write.mode("overwrite").parquet(data_dir)
         snaps = self._load_meta(table)
         snaps.append({"snapshot_id": snapshot_id, "ts": time.time(),
-                      "path": data_dir})
+                      "path": data_dir, "meta": meta or {}})
         self._commit(table, snaps)
         return snapshot_id
 
@@ -115,3 +141,16 @@ class Lakehouse:
     def current_snapshot(self, table: str) -> str | None:
         snaps = self._load_meta(table)
         return snaps[-1]["snapshot_id"] if snaps else None
+
+    def snapshot_meta(self, table: str, snapshot_id: str | None = None) -> dict:
+        """Commit metadata of ``snapshot_id`` (default: newest). Empty dict
+        for an unknown/empty table — callers probe with this, never raise."""
+        snaps = self._load_meta(table)
+        if not snaps:
+            return {}
+        if snapshot_id is None:
+            return snaps[-1].get("meta", {}) or {}
+        for s in snaps:
+            if s["snapshot_id"] == snapshot_id:
+                return s.get("meta", {}) or {}
+        return {}

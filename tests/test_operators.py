@@ -349,3 +349,49 @@ def test_quality_filter_reasons(spark):
     assert got[3][0] is False and "high_digit_ratio" in got[3][1]
     assert got[4][0] is False and "high_punct_ratio" in got[4][1] \
         and "low_alpha_ratio" in got[4][1]
+
+
+def test_connected_components_long_chain(spark):
+    """VERDICT r3 #8: a 60-node path graph (diameter 59) must either converge
+    or raise — never return silently-split components. With pointer jumping
+    the chain closes within the default max_iter=25 (~log2(59) rounds)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a long, id_b long")
+    got = {r["id"]: r["comp"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(60)}
+
+
+def test_connected_components_raises_instead_of_partial(spark):
+    """Non-convergence is an error, not a silent partial labeling."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="max_iter"):
+        dedup.connected_components(pairs, max_iter=2)
+
+
+def test_span_signature_injective_on_separator_payloads(spark):
+    """ADVICE r3: payloads containing the old ':'/'|' separators (or the
+    sentinel) must NOT collide, and a NULL offset must change the signature
+    instead of being silently dropped."""
+    from events_validator_spark.operators import multimodal as mm
+    rows = [
+        # the classic forgery: "a:b" + "c" vs "a" + "b:c"
+        ("d1", [("text", "a:b", None, 0), ("text", "c", None, 1)]),
+        ("d2", [("text", "a", None, 0), ("text", "b:c", None, 1)]),
+        # piece-separator forgery inside a payload
+        ("d3", [("text", "x|text:y", None, 0)]),
+        ("d4", [("text", "x", None, 0), ("text", "y", None, 1)]),
+        # NULL vs literal-sentinel-ish text
+        ("d5", [("text", "N", None, 0)]),
+        ("d6", [("text", None, None, 0)]),
+        # NULL offset vs offset 0
+        ("d7", [("text", "z", None, None)]),
+        ("d8", [("text", "z", None, 0)]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    sigs = [r["s"] for r in
+            df.select(mm.span_signature(F.col("spans")).alias("s")).collect()]
+    assert len(set(sigs)) == len(sigs)

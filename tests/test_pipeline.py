@@ -381,3 +381,59 @@ def test_run_incremental_exactly_once(spark, tmp_path):
     verd = lh.read("docs_verdicts")
     assert verd.count() == 70                          # every row exactly once
     assert verd.select("doc_id").distinct().count() == 70
+
+
+def test_run_incremental_crash_window_idempotent(spark, tmp_path):
+    """ADVICE r3: a crash AFTER the output appends but BEFORE the manifest
+    os.replace must not duplicate violation/verdict rows on rerun — the
+    source cursor stamped on each output snapshot makes the rerun detect the
+    committed batch and skip re-appending."""
+    from events_validator_spark.plans.pipeline import run_incremental
+    from events_validator_spark.sources.catalog import Lakehouse
+    import os
+    lh = Lakehouse(spark, str(tmp_path / "clh"))
+    out = str(tmp_path / "cout")
+    rules = {"doc_id": {"type": "string", "regex": "^doc_[0-9]+$"}}
+    lh.append("docs", spark.range(0, 30).selectExpr(
+        "concat('bad', id) as doc_id"))
+    r1 = run_incremental(lh, "docs", rules, out)
+    assert r1["rows"] == 30 and r1["violations"] == 30
+    # simulate the crash window: outputs committed, manifest write lost
+    os.remove(os.path.join(out, "incremental_manifest.json"))
+    r2 = run_incremental(lh, "docs", rules, out)
+    assert r2["cursor"] == r1["cursor"]
+    assert r2["snapshot_id"] == r1["snapshot_id"]      # reused, not re-appended
+    assert lh.read("docs_violations").count() == 30    # no duplicates
+    assert lh.read("docs_verdicts").count() == 30
+    # and the healthy path still advances
+    lh.append("docs", spark.range(30, 40).selectExpr(
+        "concat('doc_', id) as doc_id"))
+    r3 = run_incremental(lh, "docs", rules, out)
+    assert r3["rows"] == 10 and lh.read("docs_verdicts").count() == 40
+
+
+def test_lakehouse_interface_conformance(spark, tmp_path):
+    """Executable spec of the 3-method Iceberg-shaped contract (VERDICT r3
+    #9): any real catalog binding must pass exactly this function."""
+    from events_validator_spark.sources.catalog import Lakehouse
+
+    def conformance(lh):
+        # append is atomic and returns a commit id; meta rides the commit
+        s1 = lh.append("t", spark.range(0, 5).selectExpr("id as v"),
+                       meta={"source_cursor": "c1"})
+        s2 = lh.append("t", spark.range(5, 8).selectExpr("id as v"))
+        assert lh.current_snapshot("t") == s2
+        assert lh.snapshot_meta("t", s1) == {"source_cursor": "c1"}
+        assert lh.snapshot_meta("t") == {}             # newest has no meta
+        # read = current state; as_of = time travel to a commit
+        assert lh.read("t").count() == 8
+        assert lh.read("t", as_of=s1).count() == 5
+        # read_since = incremental scan strictly after a snapshot
+        df, cur = lh.read_since("t", s1)
+        assert df.count() == 3 and cur == s2
+        none_df, cur2 = lh.read_since("t", s2)
+        assert none_df is None and cur2 == s2
+        full, _ = lh.read_since("t", None)
+        assert full.count() == 8
+
+    conformance(Lakehouse(spark, str(tmp_path / "conf")))
