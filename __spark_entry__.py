@@ -170,7 +170,10 @@ def q_r1_orphan_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_s1_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from events_validator_spark.operators.stats import profile
-    li = _t(spark, sf_dir, "lineitem")
+    # _par: the testdata file scans as 3 tasks; the melt+combine stage of the
+    # exact profile is CPU-heavy and deserves every core (no-op on splittable
+    # input — see _par docstring)
+    li = _par(spark, _t(spark, sf_dir, "lineitem"))
     p = profile(li, ["l_quantity", "l_extendedprice", "l_discount"],
                 approx=False)
     return p.select("column", "count", "nulls",
