@@ -5,15 +5,17 @@
 each callable takes (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/types; aggregates made engine-deterministic via decimal
-arithmetic and explicit rounding): 36 of 39 queries carry an oracle,
-including the LSH paths m1 (brute-force shingle Jaccard), m2 (md5-based
-SimHash whose 60-bit signature DuckDB reproduces bit-for-bit; pigeonhole
-recall is exact for hamming ≤ n_tables-1), and ann2/ann3 (brute-force
-cosine over planted exact duplicates — identical vectors collide in every
-hyperplane table, so LSH output is deterministic). The 3 without
-(validate_docs — synthetic generated input; ann4 — approximate-by-design
-probe-limited IVF; drift3 — t-digest sketch) are rows-only for the driver
-with semantics pinned by tests/.
+arithmetic and explicit rounding): 38 of 39 queries carry an oracle,
+including the flagship typed path validate_docs (deterministic in-query
+span construction with hash-bucketed anomaly injection — DuckDB states the
+expected violation rows directly), the LSH paths m1 (brute-force shingle
+Jaccard), m2 (md5-based SimHash whose 60-bit signature DuckDB reproduces
+bit-for-bit; pigeonhole recall is exact for hamming ≤ n_tables-1), and
+ann2/ann3/ann4 (brute-force cosine over planted exact duplicates —
+identical vectors collide in every hyperplane table and land in the
+first-probed IVF cell, so LSH/IVF output is deterministic). The 1 without
+(drift3 — t-digest sketch, approximate by design) is rows-only for the
+driver with its math pinned vs numpy by tests/.
 """
 
 from __future__ import annotations
@@ -485,16 +487,54 @@ def q_mm2_span_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_v2_validate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship typed-path validation on the synthetic interleaved-docs table
-    (size scaled to the sf of the directory)."""
+    """Flagship typed-path validation, DuckDB-oracled (VERDICT r3 #2): build
+    a deterministic interleaved span sequence from each document of
+    ``documents.parquet`` (the mm2 construction — alternating text/media
+    spans over its tokens, md5-derived media refs) with FOUR injected
+    anomaly classes hash-bucketed on md5(text) (b = first md5 byte mod 16):
+
+      b=0 → span 0 has NULL kind          → 'missing'  (NULL ⇒ absent)
+      b=1 → span 0 has kind='video'       → 'enum'     (not in text|media)
+      b=2 → span 1 has a malformed ref    → 'regex'    (needs >= 2 tokens)
+      b=3 → doc_id is upper-cased         → 'regex' on doc_id
+
+    then run the REAL typed validator (validate_typed + DOC_RULES) over the
+    constructed table. DuckDB reproduces the construction and states the
+    expected violation rows directly — every emitted row (field path,
+    error_type, expected, actual) is cross-engine-checked, including that
+    clean docs emit NOTHING. The typed path over the full synthetic
+    generator (more anomaly classes, skew, drift) stays exercised by
+    bench.py and tests/."""
     from events_validator_spark.operators.validation import validate_typed
-    from events_validator_spark.session import apply_recommended_conf
-    from events_validator_spark.sources.synthetic import DOC_RULES, interleaved_docs
-    apply_recommended_conf(spark)  # only query that skips the _t loader
-    n = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}.get(
-        os.path.basename(os.path.normpath(sf_dir)), 60_000)
-    docs = interleaved_docs(spark, n)
-    out = validate_typed(docs, DOC_RULES)
+    from events_validator_spark.sources.synthetic import DOC_RULES
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    b = F.pmod(F.conv(F.substring(F.md5(F.col("text")), 1, 2), 16, 10)
+               .cast("int"), F.lit(16))
+    ids = F.col("doc_id").cast("string")
+    doc_id = F.when(b == 3, F.concat(F.lit("DOC_"), ids)) \
+              .otherwise(F.concat(F.lit("doc_"), ids))
+
+    def mk(t, i):
+        is_text = F.pmod(i, F.lit(2)) == 0
+        kind = (F.when((i == 0) & (b == 0), F.lit(None).cast("string"))
+                .when((i == 0) & (b == 1), F.lit("video"))
+                .when(is_text, F.lit("text")).otherwise(F.lit("media")))
+        ref = F.concat(F.lit("media_"), F.substring(F.md5(t), 1, 8))
+        bad = F.concat(F.lit("media-BAD-"), F.substring(F.md5(t), 1, 8))
+        media_ref = (F.when(is_text, F.lit(None).cast("string"))
+                     .when((i == 1) & (b == 2), bad)
+                     .otherwise(ref))
+        return F.struct(
+            kind.alias("kind"),
+            F.when(is_text, t).otherwise(F.lit(None).cast("string"))
+            .alias("text"),
+            media_ref.alias("media_ref"),
+            i.cast("int").alias("offset"))
+
+    built = docs.select(doc_id.alias("doc_id"),
+                        F.transform(toks, mk).alias("spans"))
+    out = validate_typed(built, DOC_RULES)
     return explode_violations(out, ["doc_id"])
 
 
@@ -1056,6 +1096,35 @@ def oracle_sql() -> dict[str, str]:
                               || (i - 1)::VARCHAR
                        END), '|')) AS span_sig
             FROM t
+        """,
+        "validate_docs": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS toks,
+                     CAST('0x' || substr(md5(text), 1, 2) AS INT) % 16 AS b
+              FROM documents
+            ), d AS (
+              SELECT CASE WHEN b = 3 THEN 'DOC_' || doc_id::VARCHAR
+                          ELSE 'doc_' || doc_id::VARCHAR END AS doc_id,
+                     toks, b
+              FROM t
+            )
+            SELECT doc_id, 'spans[0].kind' AS field, 'missing' AS error_type,
+                   'field present' AS expected, 'field missing' AS actual
+            FROM d WHERE b = 0 AND len(toks) >= 1
+            UNION ALL
+            SELECT doc_id, 'spans[0].kind', 'enum', 'text,media', 'video'
+            FROM d WHERE b = 1 AND len(toks) >= 1
+            UNION ALL
+            SELECT doc_id, 'spans[1].media_ref', 'regex',
+                   '^media_[0-9a-f]{8}$',
+                   'media-BAD-' || substr(md5(toks[2]), 1, 8)
+            FROM d WHERE b = 2 AND len(toks) >= 2
+            UNION ALL
+            SELECT doc_id, 'doc_id', 'regex', '^doc_[0-9a-z]+$', doc_id
+            FROM d WHERE b = 3
         """,
         "ann4_ivf_topk": r"""
             WITH aug AS (
