@@ -80,6 +80,74 @@ def _shortest_sci_repr(a: Column) -> Column:
     return search(0, 16)
 
 
+def js_number_to_string_sql(x: str) -> str:
+    """SQL-text twin of :func:`js_number_to_string` — byte-identical
+    semantics, generated as ONE string so the whole formatter costs one
+    parser round trip instead of thousands of py4j calls (VERDICT r3 #7:
+    the formatter tree measured ~1.5 s of driver-side Column construction
+    PER INSTANCE, and the staged toString embeds it three times per
+    value/regex/enum-checked field). Consumed by validation's textual
+    staging path (``_variant_to_string_sql`` → ``F.expr``); equivalence to
+    the Column tree is pinned by
+    tests/test_js_numbers.py::test_sql_text_formatter_matches_tree.
+
+    Unlike the tree, the input double, its abs, and the decimal-point
+    position are LET-BOUND textually (``transform(array(e), _v -> …)[0]``):
+    the text stays ~4× smaller (SQL parse time) and each binds once per row
+    instead of once per reference — the VARIANT staging projection runs
+    interpreted, where conditional subexpressions are never deduplicated,
+    so the tree re-evaluates the (expensive) variant-get + cast per
+    binary-search candidate. Value-level semantics are identical."""
+    d, a = "_jsd", "_jsa"
+    sign = f"(CASE WHEN ({d} < 0) THEN '-' ELSE '' END)"
+
+    def cand(p: int) -> str:
+        return f"format_string('%.{p}e', {a})"
+
+    def rt(p: int) -> str:
+        return f"(try_cast({cand(p)} AS DOUBLE) = {a})"
+
+    def search(lo: int, hi: int) -> str:
+        if lo == hi:
+            return cand(lo)
+        mid = (lo + hi) // 2
+        return (f"(CASE WHEN {rt(mid)} THEN {search(lo, mid)} "
+                f"ELSE {search(mid + 1, hi)} END)")
+
+    rep, digits, n = "_jsrep", "_jsdig", "_jsn"
+    L = f"length({digits})"
+    intpad = f"concat({digits}, repeat('0', CAST(({n} - {L}) AS INT)))"
+    point = (f"concat(substr({digits}, 1, {n}), '.', "
+             f"substr({digits}, ({n} + 1), ({L} - {n})))")
+    small = f"concat('0.', repeat('0', CAST((-{n}) AS INT)), {digits})"
+    mant_js = (f"(CASE WHEN ({L} = 1) THEN {digits} ELSE "
+               f"concat(substr({digits}, 1, 1), '.', "
+               f"substr({digits}, 2, ({L} - 1))) END)")
+    sci = (f"concat({mant_js}, 'e', "
+           f"(CASE WHEN (({n} - 1) >= 0) THEN '+' ELSE '-' END), "
+           f"CAST(abs(({n} - 1)) AS STRING))")
+    fmt = (f"(CASE WHEN (({L} <= {n}) AND ({n} <= 21)) THEN {intpad} "
+           f"WHEN ((0 < {n}) AND ({n} <= 21)) THEN {point} "
+           f"WHEN ((-6 < {n}) AND ({n} <= 0)) THEN {small} "
+           f"ELSE {sci} END)")
+    mant = f"substring_index({rep}, 'e', 1)"
+    k1 = f"(CAST(substring_index({rep}, 'e', -1) AS INT) + 1)"
+    fmt_n = f"(transform(array({k1}), {n} -> {fmt}))[0]"
+    with_digits = (f"(transform(array(regexp_replace({mant}, '\\\\.', '')), "
+                   f"{digits} -> {fmt_n}))[0]")
+    body = f"(transform(array({search(0, 16)}), {rep} -> {with_digits}))[0]"
+    full = (f"(CASE WHEN ({d} IS NULL) THEN CAST(NULL AS STRING) "
+            f"WHEN isnan({d}) THEN 'NaN' "
+            f"WHEN ({d} = 0) THEN '0' "
+            f"WHEN ({a} = CAST('Infinity' AS DOUBLE)) "
+            f"THEN concat({sign}, 'Infinity') "
+            f"WHEN (({d} = floor({d})) AND ({a} < 1.0E16)) "
+            f"THEN CAST(CAST({d} AS BIGINT) AS STRING) "
+            f"ELSE concat({sign}, {body}) END)")
+    return (f"(transform(array(CAST({x} AS DOUBLE)), {d} -> "
+            f"(transform(array(abs({d})), {a} -> {full}))[0]))[0]")
+
+
 def js_number_to_string(col: Column) -> Column:
     """JS ``String(number)`` — exact over the full double range.
 

@@ -72,3 +72,43 @@ def test_column_impl_matches_python_mirror_full_range(spark):
                               .alias("s")).collect()}
     for i, v in enumerate(vals):
         assert got[i] == py_js_number_repr(v), repr(v)
+
+
+def test_sql_text_formatter_matches_tree(spark):
+    """The SQL-text twin (js_number_to_string_sql, the textual staging
+    path) must agree with the Column tree on specials + a deterministic
+    bit-pattern double corpus."""
+    import random
+    import struct
+    from events_validator_spark.functions.js_compat import js_number_to_string_sql
+    random.seed(20240817)
+    vals = [0.0, -0.0, 1.5, 0.1, 1e16, 1e16 - 2, 1e21, 2.5e22, 1e-6, 1e-7,
+            5e-324, 1.7976931348623157e308, 123456789012345678.0,
+            float("inf"), float("-inf"), float("nan"), None]
+    vals += [struct.unpack("<d", struct.pack("<Q", random.getrandbits(64)))[0]
+             for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    bad = (df.select(F.expr(js_number_to_string_sql("x")).alias("u"),
+                     js_number_to_string(F.col("x")).alias("t"))
+           .where("NOT (u <=> t)"))
+    assert bad.count() == 0
+
+
+def test_sql_text_variant_tostring_matches_tree(spark):
+    """The textual variant toString (validation_sql.variant_to_string_sql)
+    must agree with the Column tree across every variant shape, including
+    nested arrays at the depth limit."""
+    from events_validator_spark.operators.validation import _variant_to_string
+    from events_validator_spark.operators.validation_sql import variant_to_string_sql
+    payloads = ['1.5', '"s"', '[1,2.25,"a",[3,[4,5],"x"],true]', 'null',
+                'true', 'false', '{"a":1}', '1e300', '0.1', '[[[1]]]', '[]',
+                '-2.5e-8', '""', '[null,1]', '9007199254740993']
+    df = spark.createDataFrame([('{"k":' + s + '}',) for s in payloads],
+                               "props string")
+    v = F.try_variant_get(F.try_parse_json(F.col("props")), '$["k"]', "variant")
+    txt = variant_to_string_sql(
+        "try_variant_get(try_parse_json(`props`), '$[\"k\"]', 'variant')")
+    bad = (df.select(F.expr(txt).alias("u"),
+                     _variant_to_string(v).alias("t"))
+           .where("NOT (u <=> t)"))
+    assert bad.count() == 0
