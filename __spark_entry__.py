@@ -5,7 +5,7 @@
 each callable takes (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/types; aggregates made engine-deterministic via decimal
-arithmetic and explicit rounding): 38 of 39 queries carry an oracle,
+arithmetic and explicit rounding): 42 of 43 queries carry an oracle,
 including the flagship typed path validate_docs (deterministic in-query
 span construction with hash-bucketed anomaly injection — DuckDB states the
 expected violation rows directly), the LSH paths m1 (brute-force shingle
@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from events_validator_spark.operators import (
-    analytics, dedup, drift, similarity, text, uniqueness,
+    analytics, dedup, drift, sampling, similarity, text, uniqueness,
 )
 from events_validator_spark.operators.validation import (
     explode_violations, validate_json,
@@ -244,6 +244,48 @@ def q_t7_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "keep",
                     F.array_join(F.array_sort("drop_reasons"), ",")
                     .alias("drop_reasons")))
+
+
+def q_sp1_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyed sampling (md5 bucket path so DuckDB reproduces
+    membership bit-for-bit): keep 25% of documents by doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    return (sampling.hash_sample(docs, 0.25, "doc_id", seed=7, hash_fn="md5")
+            .select("doc_id"))
+
+
+def q_sp2_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-monoculture quota: at most 10 docs per source, keeping the
+    lowest doc_ids (a unique total order → deterministic; every source in
+    the synthetic corpus exceeds the quota, so rows ARE dropped and the
+    oracle discriminates)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.quota_cap(docs, "source", 10, "doc_id") \
+        .select("doc_id", "source")
+
+
+def q_sp3_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint exhaustive 80/10/10 train/val/test split — every doc in
+    exactly one slice, membership a pure function of doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    parts = sampling.hash_split(docs, [0.8, 0.1, 0.1], "doc_id",
+                                seed=7, hash_fn="md5")
+    out = None
+    for i, p in enumerate(parts):
+        sel = p.select("doc_id", F.lit(i).alias("split_id"))
+        out = sel if out is None else out.unionByName(sel)
+    return out
+
+
+def q_dc1_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set leakage check: distinct shared word-trigram count of every
+    document against a 20-doc 'benchmark' slice (docs 0-19 of the corpus —
+    guaranteed self-contamination plus organic trigram collisions across
+    the small synthetic vocabulary, so the oracle discriminates all three
+    of: exact members, partial overlaps, clean docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 20)
+    return dedup.ngram_decontaminate(docs, bench, min_overlap=2)
 
 
 def q_ann1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,6 +617,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_lang_scores": q_t3_lang_scores,
         "t4_fingerprint": q_t4_fingerprint,
         "t7_quality_filter": q_t7_quality_filter,
+        "sp1_hash_sample": q_sp1_hash_sample,
+        "sp2_domain_quota": q_sp2_domain_quota,
+        "sp3_hash_split": q_sp3_hash_split,
+        "dc1_decontaminate": q_dc1_decontaminate,
         "ann1_topk": q_ann1_topk,
         "drift1_psi": q_drift1_psi,
         "drift2_ks": q_drift2_ks,
@@ -819,6 +865,52 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(array_to_string(list_sort(drop_reasons), ','), '')
                      AS drop_reasons
             FROM r
+        """,
+        "sp1_hash_sample": r"""
+            SELECT doc_id FROM documents
+            WHERE (CAST('0x' || substr(md5(doc_id::VARCHAR || '#7'), 1, 8)
+                        AS BIGINT) % 1000000) < 250000
+        """,
+        "sp2_domain_quota": r"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id ASC) AS rn
+              FROM documents
+            ) WHERE rn <= 10
+        """,
+        "sp3_hash_split": r"""
+            SELECT doc_id,
+                   CASE WHEN b < 800000 THEN 0
+                        WHEN b < 900000 THEN 1
+                        ELSE 2 END AS split_id
+            FROM (SELECT doc_id,
+                         (CAST('0x' || substr(md5(doc_id::VARCHAR || '#7'),
+                                              1, 8) AS BIGINT) % 1000000) AS b
+                  FROM documents)
+        """,
+        "dc1_decontaminate": r"""
+            WITH sh AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [array_to_string(toks, ' ')] END) AS sh
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\s+')
+                             AS toks
+                    FROM documents)
+            ), b AS (
+              SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE doc_id < 20
+            ), c AS (
+              SELECT doc_id, unnest(sh) AS gram FROM sh
+            ), j AS (
+              SELECT c.doc_id AS id, COUNT(DISTINCT c.gram) AS n_shared
+              FROM c JOIN b USING (gram) GROUP BY 1
+            )
+            SELECT s.doc_id AS id, COALESCE(j.n_shared, 0) AS n_shared,
+                   COALESCE(j.n_shared, 0) >= 2 AS contaminated
+            FROM sh s LEFT JOIN j ON s.doc_id = j.id
         """,
         "ann1_topk": r"""
             WITH q AS (

@@ -162,6 +162,44 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def ngram_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3, min_overlap: int = 1) -> DataFrame:
+    """Per corpus document: how many DISTINCT word ``k``-gram shingles it
+    shares with the benchmark set, and a ``contaminated`` flag
+    (``n_shared >= min_overlap``) → (id, n_shared, contaminated).
+
+    The eval-set leakage check every training corpus needs: a document that
+    quotes a benchmark question verbatim poisons the eval. Shape at 100 TB:
+    the corpus explodes to (id, gram) rows and equi-joins the benchmark's
+    DISTINCT gram set — benchmarks are small (thousands of docs), so AQE
+    broadcasts their gram set and the join filters MAP-SIDE: only matching
+    grams (a sliver of the corpus) ever shuffle into the per-doc distinct
+    count. No hard broadcast hint: an unusually large benchmark degrades to
+    a shuffle join on the gram key, never a corpus self-join. Short docs
+    (< k tokens) fall back to their whole text as one shingle — same rule
+    as :func:`shingles`, so a verbatim short-question copy still matches.
+    """
+    c = (corpus.select(F.col(id_col).alias("id"),
+                       F.explode(shingles(F.col(text_col), k)).alias("gram")))
+    b = (benchmark.select(F.explode(shingles(F.col(text_col), k))
+                          .alias("gram"))
+         .distinct())
+    shared = (c.join(b, "gram")
+              .groupBy("id")
+              .agg(F.count_distinct("gram").alias("n_shared")))
+    ids = corpus.select(F.col(id_col).alias("id"))
+    return (ids.join(shared, "id", "left")
+            .select("id",
+                    F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+                    (F.coalesce("n_shared", F.lit(0)) >= min_overlap)
+                    .alias("contaminated")))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -395,3 +395,64 @@ def test_span_signature_injective_on_separator_payloads(spark):
     sigs = [r["s"] for r in
             df.select(mm.span_signature(F.col("spans")).alias("s")).collect()]
     assert len(set(sigs)) == len(sigs)
+
+
+def test_hash_sample_deterministic_and_rate(spark):
+    """Membership is a pure function of the key: identical across
+    parallelism/repartition, independent samples per seed, rate ~ requested."""
+    from events_validator_spark.operators import sampling
+    df = spark.range(20_000).selectExpr("id AS doc_id")
+    a = {r[0] for r in sampling.hash_sample(df, 0.3, "doc_id").collect()}
+    b = {r[0] for r in sampling.hash_sample(
+        df.repartition(17), 0.3, "doc_id").collect()}
+    assert a == b
+    assert abs(len(a) / 20_000 - 0.3) < 0.02
+    c = {r[0] for r in sampling.hash_sample(df, 0.3, "doc_id",
+                                            seed=99).collect()}
+    assert c != a                        # independent draw per seed
+    with pytest.raises(ValueError):
+        sampling.hash_sample(df, 1.5, "doc_id")
+
+
+def test_hash_split_disjoint_exhaustive(spark):
+    from events_validator_spark.operators import sampling
+    df = spark.range(10_000).selectExpr("id AS doc_id")
+    parts = sampling.hash_split(df, [0.8, 0.1, 0.1], "doc_id")
+    sets = [{r[0] for r in p.collect()} for p in parts]
+    assert sum(len(s) for s in sets) == 10_000        # exhaustive
+    assert len(sets[0] | sets[1] | sets[2]) == 10_000  # disjoint
+    assert abs(len(sets[0]) / 10_000 - 0.8) < 0.02
+    with pytest.raises(ValueError):
+        sampling.hash_split(df, [0.5, 0.4], "doc_id")
+
+
+def test_quota_cap_keeps_first_by_order(spark):
+    from events_validator_spark.operators import sampling
+    df = spark.createDataFrame(
+        [(g, i) for g in ("a", "b") for i in range(10)] + [("c", 0)],
+        "grp string, pri long")
+    out = sampling.quota_cap(df, "grp", 3, "pri")
+    got = sorted((r["grp"], r["pri"]) for r in out.collect())
+    assert got == [("a", 0), ("a", 1), ("a", 2),
+                   ("b", 0), ("b", 1), ("b", 2), ("c", 0)]
+
+
+def test_ngram_decontaminate_planted(spark):
+    """A doc quoting a benchmark trigram verbatim is flagged; clean docs
+    score 0; a short benchmark doc (< k tokens, whole-text shingle) still
+    matches its verbatim copy."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over dogs"),
+         (101, "short answer")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "he said the quick brown fox appeared"),   # shares 2 trigrams
+         (2, "zebra yak xylophone walrus vulture"),     # clean
+         (3, "short answer"),                           # verbatim short copy
+         (4, "the quick red fox")], ["doc_id", "text"])  # only 0 shared trigrams
+    got = {r["id"]: (r["n_shared"], r["contaminated"])
+           for r in dedup.ngram_decontaminate(corpus, bench,
+                                              min_overlap=1).collect()}
+    assert got[1] == (2, True)
+    assert got[2] == (0, False)
+    assert got[3] == (1, True)
+    assert got[4] == (0, False)
