@@ -71,21 +71,39 @@ def hash_split(df: DataFrame, weights: list[float], key_col: str,
 
 
 def quota_cap(df: DataFrame, group_col: str, quota: int,
-              order_col: str) -> DataFrame:
-    """At most ``quota`` rows per group, keeping the first by
-    ``order_col`` (ascending, ties broken by the column itself being the
-    total order — pass a unique id/priority).
+              order_col: str, n_salts: int = 32) -> DataFrame:
+    """At most ``quota`` rows per group, keeping the FIRST by ``order_col``
+    (ascending; pass a unique id/priority — the total order is what makes
+    the kept set deterministic).
 
     The anti-monoculture cap every crawl pipeline applies (no domain may
-    dominate the corpus). One shuffle on ``group_col`` + a per-group
-    window. SKEW NOTE: row_number needs each group's rows on one reducer,
-    so a pathological hot group (>> executor memory) is the straggler the
-    skew playbook covers — at web scale pre-thin hot groups first with
-    :func:`hash_sample` at a rate that leaves ~10× quota, THEN cap
-    exactly; the pre-thinning is row-local and keeps the window input
-    bounded, while the final cap stays exact on the survivors.
+    dominate the corpus) — EXACT and skew-safe via two-phase salted top-N:
+
+      phase 1: top-``quota`` per (group, row-local salt) — a hot group's
+               rows spread over ``n_salts`` reducers, each holding
+               hot_rows/n_salts, so no single reducer ever materializes a
+               whole hot domain (the straggler+OOM a plain per-group
+               window guarantees at web scale);
+      phase 2: exact top-``quota`` over the union — input is now bounded
+               by quota·n_salts rows PER GROUP, however hot the group.
+
+    Exactness: every global top-quota row is also top-quota within its
+    salt bucket, so phase 1's union is a superset of the answer and
+    phase 2 is exact — for ANY salt assignment (the row-local salt never
+    touches payload columns, so column pruning reaches the scan; pinned by
+    the vs-naive equivalence test). ``n_salts=1`` degenerates to the
+    single-window form.
     """
-    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    order = F.col(order_col).asc()
+    if n_salts > 1:
+        salt = F.pmod(F.monotonically_increasing_id(),
+                      F.lit(n_salts)).alias("__salt")
+        w1 = Window.partitionBy(group_col, "__salt").orderBy(order)
+        df = (df.withColumn("__salt", salt)
+              .withColumn("__rn1", F.row_number().over(w1))
+              .where(F.col("__rn1") <= quota)
+              .drop("__salt", "__rn1"))
+    w = Window.partitionBy(group_col).orderBy(order)
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= quota)
             .drop("__rn"))

@@ -456,3 +456,20 @@ def test_ngram_decontaminate_planted(spark):
     assert got[2] == (0, False)
     assert got[3] == (1, True)
     assert got[4] == (0, False)
+
+
+def test_quota_cap_salted_equals_naive_and_skew_safe(spark):
+    """Two-phase salted quota_cap is EXACT: identical kept set to the
+    single-window form on a skewed corpus (one group with 20k rows), for
+    any n_salts, across parallelism."""
+    from events_validator_spark.operators import sampling
+    df = spark.range(21_000).selectExpr(
+        "CASE WHEN id < 20000 THEN 'hot' ELSE concat('g', id % 7) END AS grp",
+        "id AS pri").repartition(16)
+    naive = sampling.quota_cap(df, "grp", 25, "pri", n_salts=1)
+    salted = sampling.quota_cap(df, "grp", 25, "pri", n_salts=32)
+    a = sorted((r["grp"], r["pri"]) for r in naive.collect())
+    b = sorted((r["grp"], r["pri"]) for r in salted.collect())
+    assert a == b
+    assert sum(1 for g, _ in b if g == "hot") == 25
+    assert b[0] == ("g0", 20006)      # first kept row of the first group
