@@ -437,3 +437,21 @@ def test_lakehouse_interface_conformance(spark, tmp_path):
         assert full.count() == 8
 
     conformance(Lakehouse(spark, str(tmp_path / "conf")))
+
+
+def test_streaming_hash_sample(spark, tmp_path):
+    """hash_sample is a row-local filter → streaming-safe with identical
+    membership to the batch path (a training pipeline can sample the
+    stream and the backfill and get the same corpus)."""
+    from events_validator_spark.operators import sampling
+    src = str(tmp_path / "s_in")
+    spark.range(0, 1000).selectExpr("id AS doc_id").write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long").parquet(src))
+    out = sampling.hash_sample(stream, 0.3, "doc_id")
+    q = (out.writeStream.format("memory").queryName("sampled")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM sampled").collect()}
+    batch = {r["doc_id"] for r in sampling.hash_sample(
+        spark.read.parquet(src), 0.3, "doc_id").collect()}
+    assert got == batch and 0 < len(got) < 1000
