@@ -178,9 +178,18 @@ def exact_profile(df: DataFrame, columns: list[str],
              + F.col(f"frac_{i}") * (F.col(f"vhi_{i}") - F.col(f"vlo_{i}")))
             for i in range(len(quantiles))]).alias("quantiles"))
 
-    return (st.join(qrow, "col", "left")
-            .select(F.col("col").alias("column"), "count", "nulls",
-                    "min", "max", "distinct", "quantiles"))
+    # column spine: an EMPTY input must still yield one row per column
+    # (count=0), matching the wide-agg contract — a groupBy over zero rows
+    # would otherwise emit nothing
+    spine = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(c) for c in columns])).alias("col"))
+    return (spine.join(st, "col", "left").join(qrow, "col", "left")
+            .select(F.col("col").alias("column"),
+                    F.coalesce("count", F.lit(0)).alias("count"),
+                    F.coalesce("nulls", F.lit(0)).alias("nulls"),
+                    "min", "max",
+                    F.coalesce("distinct", F.lit(0)).alias("distinct"),
+                    "quantiles"))
 
 
 def histogram(df: DataFrame, column: str, nbins: int = 20,

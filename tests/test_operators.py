@@ -473,3 +473,21 @@ def test_quota_cap_salted_equals_naive_and_skew_safe(spark):
     assert a == b
     assert sum(1 for g, _ in b if g == "hot") == 25
     assert b[0] == ("g0", 20006)      # first kept row of the first group
+
+
+def test_exact_profile_all_null_and_empty(spark):
+    """Edge fidelity of the single-scan exact profile: an all-NULL column
+    profiles as count=0/nulls=n/distinct=0 with NULL min/max/quantiles;
+    an empty table yields count=0 rows without error."""
+    df = spark.createDataFrame([(1, None), (2, None)],
+                               "k long, v double")
+    p = {r["column"]: r for r in stats.profile(df, approx=False).collect()}
+    assert p["v"]["count"] == 0 and p["v"]["nulls"] == 2
+    assert p["v"]["distinct"] == 0
+    assert p["v"]["min"] is None and p["v"]["max"] is None
+    assert p["v"]["quantiles"] is None
+    assert p["k"]["count"] == 2 and p["k"]["distinct"] == 2
+
+    empty = spark.createDataFrame([], "x double")
+    pe = {r["column"]: r for r in stats.profile(empty, approx=False).collect()}
+    assert pe["x"]["count"] == 0 and pe["x"]["nulls"] == 0
