@@ -5,7 +5,7 @@
 each callable takes (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/types; aggregates made engine-deterministic via decimal
-arithmetic and explicit rounding): 42 of 43 queries carry an oracle,
+arithmetic and explicit rounding): 43 of 44 queries carry an oracle,
 including the flagship typed path validate_docs (deterministic in-query
 span construction with hash-bucketed anomaly injection — DuckDB states the
 expected violation rows directly), the LSH paths m1 (brute-force shingle
@@ -301,6 +301,14 @@ def q_drift1_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort = F.dayofmonth("ts") >= 16   # events span 2024-01-01..30
     return drift.psi_two_cohorts(ev, "value", cohort, nbins=10,
                                  lo=0.0, hi=500.0)
+
+
+def q_drift4_categorical_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-mix drift: PSI over event_type frequencies between the
+    month's two halves (the generator shifts the kind mix mid-corpus, so
+    the statistic is nonzero and the oracle discriminates)."""
+    ev = _t(spark, sf_dir, "events")
+    return drift.categorical_psi(ev, "event_type", F.dayofmonth("ts") >= 16)
 
 
 def q_drift2_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm1_media_meta": q_mm1_media_meta,
         "mm2_span_signature": q_mm2_span_signature,
         "drift3_tdigest_ks": q_drift3_tdigest_ks,
+        "drift4_categorical_psi": q_drift4_categorical_psi,
         "a3_membership_filter": q_a3_membership_filter,
         "t5_bpe_tokens": q_t5_bpe_tokens,
         "s3_histogram_value": q_s3_histogram_value,
@@ -941,6 +950,26 @@ def oracle_sql() -> dict[str, str]:
                      SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS c_cnt,
                      SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS b_cnt
               FROM tagged GROUP BY bucket
+            ), tot AS (
+              SELECT SUM(c_cnt) AS ct, SUM(b_cnt) AS bt FROM wide
+            )
+            SELECT ROUND(SUM(
+                     (GREATEST(c_cnt / GREATEST(ct, 1), 1e-6)
+                      - GREATEST(b_cnt / GREATEST(bt, 1), 1e-6))
+                     * ln(GREATEST(c_cnt / GREATEST(ct, 1), 1e-6)
+                          / GREATEST(b_cnt / GREATEST(bt, 1), 1e-6))
+                   ), 8) AS psi
+            FROM wide, tot
+        """,
+        "drift4_categorical_psi": r"""
+            WITH wide AS (
+              SELECT event_type AS category,
+                     SUM(CASE WHEN EXTRACT(day FROM ts) >= 16
+                              THEN 1 ELSE 0 END) AS c_cnt,
+                     SUM(CASE WHEN EXTRACT(day FROM ts) >= 16
+                              THEN 0 ELSE 1 END) AS b_cnt
+              FROM events WHERE event_type IS NOT NULL
+              GROUP BY 1
             ), tot AS (
               SELECT SUM(c_cnt) AS ct, SUM(b_cnt) AS bt FROM wide
             )

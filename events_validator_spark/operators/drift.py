@@ -161,6 +161,34 @@ def psi_two_cohorts(df: DataFrame, column: str, cohort: F.Column,
     return j.agg(F.round(F.sum((p - q) * F.log(p / q)), 8).alias("psi"))
 
 
+def categorical_psi(df: DataFrame, column: str, cohort: F.Column,
+                    eps: float = 1e-6) -> DataFrame:
+    """PSI over CATEGORY frequencies of a string column between cohort=True
+    (current) and False (baseline) → one row {psi}, in ONE scan.
+
+    The categorical twin of :func:`psi_two_cohorts` — a training-data
+    pipeline watches the source/language/event-type MIX as closely as any
+    numeric distribution (a crawl whose domain mix shifts is a different
+    corpus). Categories are their own buckets: groupBy(category) with
+    conditional counts (map-side combine; shuffle is one row per distinct
+    category), then the same ε-smoothed PSI sum — a category present in
+    only one cohort contributes the large ln(p/ε) term, which is exactly
+    the new-category-appeared alarm. NULL categories are dropped (count
+    them via :func:`~events_validator_spark.operators.stats.profile`).
+    """
+    wide = (df.where(F.col(column).isNotNull())
+            .groupBy(F.col(column).alias("category"))
+            .agg(F.sum(F.when(cohort, 1).otherwise(0)).alias("c_cnt"),
+                 F.sum(F.when(cohort, 0).otherwise(1)).alias("b_cnt")))
+    tot = wide.agg(F.sum("c_cnt").alias("ct"), F.sum("b_cnt").alias("bt"))
+    j = wide.crossJoin(F.broadcast(tot))
+    p = F.greatest(F.col("c_cnt") / F.greatest(F.col("ct"), F.lit(1)),
+                   F.lit(eps))
+    q = F.greatest(F.col("b_cnt") / F.greatest(F.col("bt"), F.lit(1)),
+                   F.lit(eps))
+    return j.agg(F.round(F.sum((p - q) * F.log(p / q)), 8).alias("psi"))
+
+
 # ---------------------------------------------------------------------------
 # KS — exact two-sample statistic as window algebra (small/medium path),
 #      and sketch-based compare via applyInPandas (scale path)

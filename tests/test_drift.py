@@ -146,3 +146,29 @@ def test_ks_from_digests_distributed_matches_single_task(spark):
         assert single[k] == dist[k], (k, single[k], dist[k])
     # sanity: distant cohorts drift more than near ones
     assert dist[("g0", "g7")] > dist[("g0", "g1")]
+
+
+def test_categorical_psi_matches_numpy(spark):
+    """Categorical PSI equals the hand-computed statistic, detects a mix
+    shift, and is ~0 for identical mixes."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from events_validator_spark.operators.drift import categorical_psi
+    rows = ([("a", True)] * 50 + [("b", True)] * 50 +
+            [("a", False)] * 80 + [("b", False)] * 20)
+    df = spark.createDataFrame(rows, "cat string, cur boolean")
+    got = categorical_psi(df, "cat", F.col("cur")).collect()[0]["psi"]
+    p = np.array([0.5, 0.5]); q = np.array([0.8, 0.2])
+    want = float(((p - q) * np.log(p / q)).sum())
+    assert abs(got - want) < 1e-6
+    same = spark.createDataFrame(
+        [("a", True), ("b", True), ("a", False), ("b", False)],
+        "cat string, cur boolean")
+    assert abs(categorical_psi(same, "cat", F.col("cur"))
+               .collect()[0]["psi"]) < 1e-9
+    # a category present only in the current cohort raises the alarm term
+    new = spark.createDataFrame(
+        [("a", True), ("NEW", True), ("a", False)],
+        "cat string, cur boolean")
+    assert categorical_psi(new, "cat", F.col("cur")) \
+        .collect()[0]["psi"] > 1.0
