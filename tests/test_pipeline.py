@@ -455,3 +455,55 @@ def test_streaming_hash_sample(spark, tmp_path):
     batch = {r["doc_id"] for r in sampling.hash_sample(
         spark.read.parquet(src), 0.3, "doc_id").collect()}
     assert got == batch and 0 < len(got) < 1000
+
+
+def test_build_corpus_end_to_end(spark, tmp_path):
+    """The composed corpus pipeline: exact dups fold, near-dup clusters keep
+    one representative, benchmark-contaminated docs drop, junk drops at the
+    quality gate, quotas cap domains, the ledger accounts every stage, and
+    the final corpus + ledger land in the lakehouse atomically."""
+    from events_validator_spark.plans.corpus_pipeline import build_corpus
+    from events_validator_spark.sources.catalog import Lakehouse
+    base = "the quick brown fox jumps over the lazy dog again " * 3
+    rows = [
+        (1, base, "a"), (2, base, "a"),                    # exact dup pair
+        (3, base.replace("lazy", "sleepy"), "a"),          # near-dup of 1
+        (10, "completely different text about spark shuffles and big joins "
+             "partitions executors stages tasks memory spill", "b"),
+        (11, "benchmark question: what is the capital of atlantis exactly "
+             "and why does it matter for this test", "b"),  # contaminated
+        (12, "x 1 2 3", "b"),                               # junk (quality)
+    ] + [(100 + i, " ".join("w" + chr(97 + i) + "x" + chr(97 + j)
+                            for j in range(20)), "c")
+         for i in range(6)]          # 6 mutually-disjoint alpha vocab docs
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(999, "what is the capital of atlantis")], "doc_id long, text string")
+    lh = Lakehouse(spark, str(tmp_path / "clh"))
+    out, ledger = build_corpus(
+        docs, benchmark=bench, decontam_min_overlap=2,
+        near_dup_threshold=0.5,
+        quality_kwargs={"min_tokens": 5},
+        quota=("source", 4), lakehouse=lh)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert 2 not in kept and 3 not in kept      # exact + near dup folded
+    assert 11 not in kept                       # contaminated
+    assert 12 not in kept                       # junk
+    assert 1 in kept and 10 in kept
+    assert sum(1 for d in kept if d >= 100) == 4   # quota capped c: 6 -> 4
+    stages = [m.stage for m in ledger]
+    assert stages == ["exact_dedup", "near_dedup", "decontaminate",
+                      "quality_gate", "domain_quota"]
+    assert all(m.rows_out <= m.rows_in for m in ledger)
+    assert ledger[0].rows_in == 12 and ledger[-1].rows_out == len(kept)
+    # lakehouse: corpus + ledger committed, ledger references the snapshot
+    assert lh.read("corpus").count() == len(kept)
+    led = lh.read("corpus_ledger").collect()
+    assert {r["stage"] for r in led} == set(stages)
+    assert all(r["snapshot_id"] == lh.snapshots("corpus")[-1]["snapshot_id"]
+               for r in led)
+    # splits path: disjoint + exhaustive over the final corpus
+    parts, _ = build_corpus(docs, near_dup_threshold=None,
+                            splits=[0.5, 0.5])
+    sets = [{r["doc_id"] for r in p.collect()} for p in parts]
+    assert len(sets[0] | sets[1]) == len(sets[0]) + len(sets[1])
