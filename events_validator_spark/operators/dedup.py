@@ -14,10 +14,91 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from events_validator_spark.functions.exprs import let_
 from events_validator_spark.operators.text import tokens
+
+_SAFE_NAME = re.compile(r"^[A-Za-z0-9_.\- ]+$")
+
+
+# ---------------------------------------------------------------------------
+# Textual twins (VERDICT r3 #7 technique, applied to the LSH builders):
+# the MinHash/SimHash signature trees are hundreds of py4j round trips per
+# build (num_hashes transforms / bits bit-vote aggregates); generated as SQL
+# text they cost one F.expr parse. Semantics mirror the Column builders
+# line-for-line; equivalence is pinned by
+# tests/test_operators.py::test_lsh_textual_twins_match_column_builders and
+# the m1/m2/m3 driver oracles. Column builders remain the fallback for
+# unsafe column names.
+# ---------------------------------------------------------------------------
+
+def _tokens_sql(c: str) -> str:
+    """Mirror of text.tokens: blank text → empty array, else \\s+ split."""
+    return (f"(CASE WHEN (trim({c}) = '') "
+            f"THEN CAST(array() AS ARRAY<STRING>) "
+            f"ELSE split(trim({c}), '\\\\s+') END)")
+
+
+def _shingles_sql(c: str, k: int = 3) -> str:
+    """Mirror of shingles(): distinct word k-grams; short docs fall back to
+    the whole text as one shingle. Let-binds the token array."""
+    t, i = "_sht", "_shi"
+    n = f"size({t})"
+    parts = ", ".join(f"element_at({t}, CAST(({i} + {j}) AS INT))"
+                      for j in range(k))
+    grams = (f"transform(sequence(1, greatest({n} - {k - 1}, 0)), "
+             f"{i} -> concat_ws(' ', {parts}))")
+    whole = f"array(concat_ws(' ', {t}))"
+    body = (f"array_distinct(CASE WHEN ({n} >= {k}) THEN {grams} "
+            f"ELSE {whole} END)")
+    return (f"(transform(array({_tokens_sql(f'lower({c})')}), "
+            f"{t} -> {body}))[0]")
+
+
+def _minhash_signature_sql(c: str, num_hashes: int, k: int) -> str:
+    """Mirror of minhash_signature(): per seed, min over shingles of
+    xxhash64(shingle, seed); shingles bound once."""
+    s, e = "_mhs", "_mhe"
+    mins = ", ".join(
+        f"array_min(transform({s}, {e} -> xxhash64({e}, {i})))"
+        for i in range(num_hashes))
+    return (f"(transform(array({_shingles_sql(c, k)}), "
+            f"{s} -> array({mins})))[0]")
+
+
+def _band_structs_sql(c: str, num_hashes: int, bands: int, k: int) -> str:
+    """Mirror of the banded signature: per band, xxhash64 over its rows."""
+    r = num_hashes // bands
+    sig = "_mbs"
+    structs = ", ".join(
+        "named_struct('band', {b}, 'bh', xxhash64({cols}))".format(
+            b=b, cols=", ".join(f"element_at({sig}, {b * r + j + 1})"
+                                for j in range(r)))
+        for b in range(bands))
+    return (f"(transform(array({_minhash_signature_sql(c, num_hashes, k)}), "
+            f"{sig} -> array({structs})))[0]")
+
+
+def _simhash_sql(c: str, bits: int, token_hash: str) -> str:
+    """Mirror of simhash(): per-bit ±1 votes over token hashes, bound once
+    per row at both the token and hash-array levels."""
+    t, h, e = "_sit", "_sih", "_sie"
+    if token_hash == "md5":
+        th = f"CAST(conv(substring(md5({e}), 1, 15), 16, 10) AS BIGINT)"
+    else:
+        th = f"xxhash64({e})"
+    votes = " + ".join(
+        f"(CASE WHEN (aggregate({h}, 0, (_sa, _sx) -> _sa + "
+        f"(CASE WHEN ((shiftright(_sx, {b}) & 1) = 1) THEN 1 ELSE -1 END))"
+        f" > 0) THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits))
+    inner = f"(transform(array(transform({t}, {e} -> {th})), {h} -> ({votes})))[0]"
+    return (f"(transform(array({_tokens_sql(f'lower({c})')}), "
+            f"{t} -> {inner}))[0]")
 
 
 # ---------------------------------------------------------------------------
@@ -111,13 +192,17 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     otherwise emit O(cap²) pairs per bucket.
     """
     r = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, k)
-    band_structs = let_(sig, lambda s: F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(*[F.element_at(s, b * r + j + 1)
-                              for j in range(r)]).alias("bh"))
-        for b in range(bands)
-    ]))
+    if _SAFE_NAME.match(text_col):
+        band_structs = F.expr(
+            _band_structs_sql(f"`{text_col}`", num_hashes, bands, k))
+    else:
+        sig = minhash_signature(F.col(text_col), num_hashes, k)
+        band_structs = let_(sig, lambda s: F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.element_at(s, b * r + j + 1)
+                                  for j in range(r)]).alias("bh"))
+            for b in range(bands)
+        ]))
     banded = (df.select(F.col(id_col).alias("id"),
                         F.explode(band_structs).alias("b"))
               .select("id", "b.band", "b.bh"))
@@ -139,8 +224,10 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     (session.py sets 64 MB), and falls back to a shuffle join keyed on ids —
     still pair-set-sized, never corpus² — when it does not.
     """
-    sh = df.select(F.col(id_col).alias("id"),
-                   shingles(F.col(text_col), k).alias("sh"))
+    sh_col = (F.expr(_shingles_sql(f"`{text_col}`", k))
+              if _SAFE_NAME.match(text_col)
+              else shingles(F.col(text_col), k))
+    sh = df.select(F.col(id_col).alias("id"), sh_col.alias("sh"))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (pairs.join(a, "id_a").join(b, "id_b")
@@ -261,8 +348,10 @@ def simhash_dedup_candidates(df: DataFrame, text_col: str = "text",
     """
     chunk_bits = bits // n_tables
     mask = (1 << chunk_bits) - 1
-    sigs = df.select(F.col(id_col).alias("id"),
-                     simhash(F.col(text_col), bits, token_hash).alias("sig"))
+    sig_col = (F.expr(_simhash_sql(f"`{text_col}`", bits, token_hash))
+               if _SAFE_NAME.match(text_col)
+               else simhash(F.col(text_col), bits, token_hash))
+    sigs = df.select(F.col(id_col).alias("id"), sig_col.alias("sig"))
     chunks = F.array(*[
         F.struct(F.lit(t).alias("t"),
                  F.shiftrightunsigned(F.col("sig"), t * chunk_bits)

@@ -491,3 +491,34 @@ def test_exact_profile_all_null_and_empty(spark):
     empty = spark.createDataFrame([], "x double")
     pe = {r["column"]: r for r in stats.profile(empty, approx=False).collect()}
     assert pe["x"]["count"] == 0 and pe["x"]["nulls"] == 0
+
+
+def test_lsh_textual_twins_match_column_builders(spark):
+    """The SQL-text twins of shingles / MinHash signature / SimHash must
+    equal the Column builders value-for-value on a real corpus (incl. short
+    and near-duplicate docs)."""
+    from events_validator_spark.operators.dedup import (
+        _band_structs_sql, _shingles_sql, _simhash_sql,
+        minhash_signature, shingles, simhash)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(200).unionByName(spark.createDataFrame(
+            [(9001, "one two"), (9002, ""), (9003, "Single")],
+            "doc_id long, text string").selectExpr(
+                "doc_id", "text",
+                "CAST(NULL AS STRING) lang", "CAST(NULL AS STRING) source",
+                "CAST(NULL AS BIGINT) n_chars"))
+    bad = docs.select(
+        F.expr(_shingles_sql("`text`", 3)).alias("u"),
+        shingles(F.col("text"), 3).alias("t")).where("NOT (u <=> t)")
+    assert bad.count() == 0
+    bad2 = docs.select(
+        F.expr(_band_structs_sql("`text`", 32, 8, 3)).alias("u"),
+        F.array(*[F.struct(F.lit(b).alias("band"), F.xxhash64(*[
+            F.element_at(minhash_signature(F.col("text"), 32, 3),
+                         b * 4 + j + 1) for j in range(4)]).alias("bh"))
+            for b in range(8)]).alias("t")).where("NOT (u <=> t)")
+    assert bad2.count() == 0
+    bad3 = docs.select(
+        F.expr(_simhash_sql("`text`", 60, "md5")).alias("u"),
+        simhash(F.col("text"), 60, "md5").alias("t")).where("NOT (u <=> t)")
+    assert bad3.count() == 0
