@@ -71,7 +71,7 @@ def hash_split(df: DataFrame, weights: list[float], key_col: str,
 
 
 def quota_cap(df: DataFrame, group_col: str, quota: int,
-              order_col: str, n_salts: int = 32) -> DataFrame:
+              order_col: str, n_salts: int = 32, seed: int = 42) -> DataFrame:
     """At most ``quota`` rows per group, keeping the FIRST by ``order_col``
     (ascending; pass a unique id/priority — the total order is what makes
     the kept set deterministic).
@@ -89,14 +89,22 @@ def quota_cap(df: DataFrame, group_col: str, quota: int,
 
     Exactness: every global top-quota row is also top-quota within its
     salt bucket, so phase 1's union is a superset of the answer and
-    phase 2 is exact — for ANY salt assignment (the row-local salt never
-    touches payload columns, so column pruning reaches the scan; pinned by
-    the vs-naive equivalence test). ``n_salts=1`` degenerates to the
-    single-window form.
+    phase 2 is exact — for ANY salt assignment (the salt never touches
+    payload columns beyond ``order_col`` — already scanned — so column
+    pruning reaches the scan; pinned by the vs-naive equivalence test).
+    ``n_salts=1`` degenerates to the single-window form.
+
+    The salt is ``xxhash64(order_col, seed)`` — a DETERMINISTIC pure
+    function of row content (ADVICE r4): a nondeterministic salt (rand /
+    monotonically_increasing_id) routes recomputed map tasks differently on
+    a stage retry after a fetch failure, duplicating or dropping rows
+    (SPARK-23207 class) exactly in the large-cluster regime this operator
+    targets. ``order_col`` is unique per the contract, so the hash still
+    spreads a hot group uniformly over ``n_salts`` reducers.
     """
     order = F.col(order_col).asc()
     if n_salts > 1:
-        salt = F.pmod(F.monotonically_increasing_id(),
+        salt = F.pmod(F.xxhash64(F.col(order_col), F.lit(seed)),
                       F.lit(n_salts)).alias("__salt")
         w1 = Window.partitionBy(group_col, "__salt").orderBy(order)
         df = (df.withColumn("__salt", salt)

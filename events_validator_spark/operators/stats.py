@@ -139,8 +139,20 @@ def exact_profile(df: DataFrame, columns: list[str],
                    F.lit(0)).alias("count"),
         F.coalesce(F.sum(F.when(F.col("xs").isNull(), F.col("c"))),
                    F.lit(0)).alias("nulls"),
-        F.min_by("xs", "xd").alias("min"),
-        F.max_by("xs", "xd").alias("max"),
+        # ordering key is (xd, xs): values wider than a double (longs >
+        # 2^53, wide decimals) can tie on the double cast, and min_by on xd
+        # alone would then return an arbitrary, run-to-run nondeterministic
+        # tie member (ADVICE r4). The xs tiebreak makes the choice
+        # deterministic; WHICH tie member is "the" min/max is a documented
+        # contract limit of the profile (double-precision collapse — the
+        # reported extreme is exact only up to double resolution).
+        # (the WHEN guard keeps null/uncastable rows ignored, as a bare-xd
+        # ordering did — a struct with null fields is itself non-null and
+        # would otherwise sort first and hijack the min)
+        F.min_by("xs", F.when(F.col("xd").isNotNull(),
+                              F.struct("xd", "xs"))).alias("min"),
+        F.max_by("xs", F.when(F.col("xd").isNotNull(),
+                              F.struct("xd", "xs"))).alias("max"),
         F.count(F.col("xs")).alias("distinct"))
 
     # distributed CDF over the distinct-value table, per column

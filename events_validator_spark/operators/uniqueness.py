@@ -13,25 +13,37 @@ cardinality explicit and tunable. AQE skew-join handling stays on as backstop
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _task_salt(n_salts: int) -> Column:
+    """Deterministic task-local salt in [0, n_salts).
+
+    ``spark_partition_id()`` is a pure function of the task's partition
+    index: a map task recomputed after a fetch failure gets the SAME index,
+    so rows route to the same phase-1 reducers — unlike
+    ``monotonically_increasing_id``/``rand``, whose values depend on
+    within-partition row order (nondeterministic after an upstream shuffle)
+    and can duplicate or drop rows on a stage retry (SPARK-23207 class;
+    ADVICE r4). A hot key's rows live in many input partitions at scale, so
+    the per-partition salt still spreads them over up to ``n_salts``
+    reducers, and the projection references NO payload columns — column
+    pruning reaches the scan.
+    """
+    return F.pmod(F.spark_partition_id(), F.lit(n_salts)).alias("__salt")
 
 
 def duplicate_keys(df: DataFrame, keys: list[str],
                    n_salts: int = 32) -> DataFrame:
     """Keys appearing more than once → (keys..., dup_count).
 
-    Two-phase salted aggregation. The salt is ROW-LOCAL
-    (``monotonically_increasing_id``): consecutive rows of a hot key land on
-    different salts, so skew still defuses, while the phase-1 projection
-    references NO payload columns — column pruning reaches the scan (an
-    all-columns content-hash salt forced reading/computing every column,
-    including the big ``spans`` payload, just to build the salt). The salt
-    only routes rows between phase-1 reducers; the phase-2 SUM makes the
-    output identical for ANY salt assignment, so results stay deterministic
-    across reruns, resume, and parallelism (pinned by the determinism audit).
+    Two-phase salted aggregation with a deterministic task-local salt
+    (:func:`_task_salt`). The salt only routes rows between phase-1
+    reducers; the phase-2 SUM makes the output identical for ANY salt
+    assignment, so results stay deterministic across reruns, resume, and
+    parallelism (pinned by the determinism audit).
     """
-    salt = F.pmod(F.monotonically_increasing_id(),
-                  F.lit(n_salts)).alias("__salt")
+    salt = _task_salt(n_salts)
     phase1 = (df.select(*keys, salt)
               .groupBy(*keys, "__salt")
               .agg(F.count(F.lit(1)).alias("__partial")))
@@ -63,11 +75,11 @@ def salted_collect(df: DataFrame, keys: list[str], payload_col: str,
     spreads over ``n_salts`` reducers — phase 2 flattens the per-salt pieces,
     shuffling pre-compacted arrays instead of raw rows.
     """
-    # row-local salt: spreads a hot key's rows without hashing the (possibly
-    # large) payload columns; the collected MULTISET is salt-invariant, and
-    # collect_list order was never deterministic to begin with
-    salt = F.pmod(F.monotonically_increasing_id(),
-                  F.lit(n_salts)).alias("__salt")
+    # deterministic task-local salt (_task_salt): spreads a hot key's rows
+    # without hashing the (possibly large) payload columns and stays
+    # retry-safe; the collected MULTISET is salt-invariant, and collect_list
+    # order was never deterministic to begin with
+    salt = _task_salt(n_salts)
     phase1 = (df.select(*keys, F.col(payload_col), salt)
               .groupBy(*keys, "__salt")
               .agg(F.collect_list(payload_col).alias("__part")))

@@ -176,10 +176,14 @@ def run_validation(docs: DataFrame, rules: dict, out_dir: str,
             return (F.col("__bucket") == b)
     else:
         # distinct partition values: on a partitioned source this is metadata
-        # listing, not a data scan. Manifest keys are string labels; the
-        # filter uses the NATIVE typed value so the comparison lands in the
-        # scan's PartitionFilters (a cast around the column would defeat
-        # pruning).
+        # listing, not a data scan. On an UNPARTITIONED source it is a full
+        # scan+shuffle just to enumerate labels — pass bucket_col only when
+        # it is (or is derived from) a physical partition column; otherwise
+        # leave it None and take the hash-bucket path, whose only extra cost
+        # is the documented per-bucket re-scan. Manifest keys are string
+        # labels; the filter uses the NATIVE typed value so the comparison
+        # lands in the scan's PartitionFilters (a cast around the column
+        # would defeat pruning).
         vals = {str(r[0]): r[0]
                 for r in docs.select(bucket_col).distinct().collect()}
         buckets = sorted(vals)
@@ -236,6 +240,16 @@ def read_outputs(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFram
     return violations, verdicts
 
 
+def _committed_snapshot_for(lakehouse, table: str, cursor: str) -> str | None:
+    """Snapshot id of the commit stamped with ``source_cursor == cursor``,
+    scanning the FULL snapshot log (newest first — the crash-rerun case is
+    almost always the last commit). None if no commit carries the stamp."""
+    for snap in reversed(lakehouse.snapshots(table)):
+        if (snap.get("meta") or {}).get("source_cursor") == cursor:
+            return snap["snapshot_id"]
+    return None
+
+
 def run_incremental(lakehouse, source_table: str, rules: dict, out_dir: str,
                     event_name: str = "interleaved_doc",
                     cursor: str | None = None,
@@ -281,12 +295,16 @@ def run_incremental(lakehouse, source_table: str, rules: dict, out_dir: str,
     viol_table = f"{source_table}_violations"
     verd_table = f"{source_table}_verdicts"
     # idempotence probe per output table: a previous run that crashed after
-    # committing this batch left its cursor stamp on the newest snapshot
-    if lakehouse.snapshot_meta(viol_table).get("source_cursor") == new_cursor:
-        v_snap = lakehouse.current_snapshot(viol_table)
-    else:
+    # committing this batch left its cursor stamp on SOME snapshot. Scan the
+    # whole snapshot log, not just the newest entry (ADVICE r4): another
+    # append to the output table between the crash and the rerun — a second
+    # pipeline instance, a manual append — would bury the stamp and make a
+    # newest-only probe re-append the batch. (Iceberg: the same scan over
+    # the .snapshots metadata table's summary properties.)
+    v_snap = _committed_snapshot_for(lakehouse, viol_table, new_cursor)
+    if v_snap is None:
         v_snap = lakehouse.append(viol_table, violations, meta=stamp)
-    if lakehouse.snapshot_meta(verd_table).get("source_cursor") != new_cursor:
+    if _committed_snapshot_for(lakehouse, verd_table, new_cursor) is None:
         lakehouse.append(verd_table, verdicts, meta=stamp)
     n_rows = validated.count()
     n_viol = int(validated.agg(

@@ -32,6 +32,11 @@ def apply_recommended_conf(spark: SparkSession) -> None:
         if _INFER_FILTERS_RULE not in rules:
             rules.append(_INFER_FILTERS_RULE)
         spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
+        # the textual twins (validation_sql.py, dedup twins) generate SQL
+        # text whose backslash escaping assumes the default parser mode; a
+        # session that flipped escapedStringLiterals=true would silently
+        # change every backslash-bearing literal's meaning (ADVICE r4)
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
     except Exception:
         pass  # a locked-down session keeps its own settings
 
@@ -74,15 +79,20 @@ def get_spark(app_name: str = "events-validator-spark",
         # array is a cheap stored column — negligible next to the 2x
         # re-evaluation it inflicts on computed arrays.
         .config("spark.sql.optimizer.excludedRules", _INFER_FILTERS_RULE)
+        # textual-twin SQL assumes default backslash escaping (ADVICE r4)
+        .config("spark.sql.parser.escapedStringLiterals", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
-    _warm_engine()
+    _warm_engine(spark)
     return spark
 
 
-def _warm_engine() -> None:
+_WARMED = False
+
+
+def _warm_engine(spark: SparkSession) -> None:
     """Preheat the driver's plan pipeline and the interpreted eval paths.
 
     The first big textual-compiler plan in a JVM pays ANTLR parse + analyzer
@@ -90,11 +100,17 @@ def _warm_engine() -> None:
     JIT (~1.5 s) — one-time costs that otherwise land inside the first real
     validation query's wall. A long-lived driver pays them once; session
     build is where one-time costs belong. Cost: ~1 s, one single-row task.
-    validate_events fresh wall at sf0.1: 3.9 s → 2.0 s."""
+    validate_events fresh wall at sf0.1: 3.9 s → 2.0 s.
+
+    Warms the session it is HANDED (ADVICE r4: getActiveSession() can be
+    None in a non-main thread, silently no-opping or warming a different
+    session) and runs at most once per driver process — getOrCreate()
+    returning an already-warmed session must not pay the ~1 s again."""
+    global _WARMED
+    if _WARMED:
+        return
     try:
-        from pyspark.sql import SparkSession
         from events_validator_spark.operators.validation import validate_json
-        spark = SparkSession.getActiveSession()
         dummy = spark.createDataFrame([('{"k": 1}',)], "props string")
         # one-row end-to-end: parse + ANALYSIS of a representative staged
         # validation plan, plus a single-task job that JITs the interpreted
@@ -105,5 +121,6 @@ def _warm_engine() -> None:
                                     "enum": [1, 2]},
                               "u": {"type": "string", "optional": True}},
                       "props").collect()
+        _WARMED = True
     except Exception:   # pragma: no cover - warmup must never block startup
         pass
