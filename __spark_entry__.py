@@ -5,7 +5,7 @@
 each callable takes (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/types; aggregates made engine-deterministic via decimal
-arithmetic and explicit rounding): 43 of 44 queries carry an oracle,
+arithmetic and explicit rounding): all 44 queries carry an oracle,
 including the flagship typed path validate_docs (deterministic in-query
 span construction with hash-bucketed anomaly injection — DuckDB states the
 expected violation rows directly), the LSH paths m1 (brute-force shingle
@@ -13,9 +13,12 @@ Jaccard), m2 (md5-based SimHash whose 60-bit signature DuckDB reproduces
 bit-for-bit; pigeonhole recall is exact for hamming ≤ n_tables-1), and
 ann2/ann3/ann4 (brute-force cosine over planted exact duplicates —
 identical vectors collide in every hyperplane table and land in the
-first-probed IVF cell, so LSH/IVF output is deterministic). The 1 without
-(drift3 — t-digest sketch, approximate by design) is rows-only for the
-driver with its math pinned vs numpy by tests/.
+first-probed IVF cell, so LSH/IVF output is deterministic), and drift3
+(t-digest sketch, approximate by design — tolerance-banded: the hashed
+columns are EXACT quantiles/KS that DuckDB reproduces, and in-Spark
+``digest_ok`` booleans assert the sketch sits inside its error band, so a
+digest regression flips a boolean and fails the hash; the sketch math is
+additionally pinned vs numpy by tests/test_drift.py).
 """
 
 from __future__ import annotations
@@ -589,10 +592,33 @@ def q_v2_validate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_drift3_tdigest_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest sketch path with a tolerance-banded oracle (VERDICT r4 #2).
+
+    The sketch's raw numbers can't be hash-compared cross-engine, but its
+    contract can: the output carries EXACT per-cohort quantiles and the
+    exact two-sample KS (both bit-reproducible in DuckDB — same conventions
+    the s2/s4/drift2 oracles pin) plus ``digest_ok`` booleans asserting the
+    digest-derived twin of each number lies within its documented error
+    band. A digest-math regression flips a boolean → value-hash mismatch →
+    the driver catches it; benign merge-order wobble (≈0.5% rank error at
+    delta=200, vs the 3%-of-spread / 0.05-KS bands) never does."""
     ev = _t(spark, sf_dir, "events")
     grouped = ev.withColumn(
         "half", F.when(F.dayofmonth("ts") >= 16, "cur").otherwise("base"))
-    return drift.ks_from_digests(grouped, "value", "half")
+    qaudit = drift.tdigest_exactness_audit(grouped, "value", "half")
+    dks = drift.ks_from_digests(grouped, "value", "half") \
+        .select(F.col("ks").alias("dks"))
+    eks = drift.ks_two_sample(ev, "value", F.dayofmonth("ts") >= 16) \
+        .select(F.col("ks").alias("eks"))
+    # both sides are exactly one row — the cross join is 1x1
+    ksrow = (dks.crossJoin(eks)
+             .select(F.lit("ks").alias("metric"),
+                     F.lit("base|cur").alias("grp"),
+                     F.lit(None).cast("double").alias("probe"),
+                     F.round("eks", 6).alias("exact_value"),
+                     (F.abs(F.col("dks") - F.col("eks")) <= 0.05)
+                     .alias("digest_ok")))
+    return qaudit.unionByName(ksrow).orderBy("metric", "grp", "probe")
 
 
 # ---------------------------------------------------------------------------
@@ -999,6 +1025,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT ROUND(MAX(ABS(ca / GREATEST(na, 1)
                                  - cb / GREATEST(nb, 1))), 8) AS ks
             FROM cum, tot
+        """,
+        # tolerance-banded oracle for the t-digest sketch: the exact halves
+        # (quantile_cont per cohort + exact two-sample KS) are hash-compared;
+        # digest_ok is the in-Spark tolerance assertion, TRUE here by the
+        # sketch's error-bound contract — a digest regression flips it and
+        # breaks the hash
+        "drift3_tdigest_ks": r"""
+            WITH ev AS (
+              SELECT value,
+                     CASE WHEN EXTRACT(day FROM ts) >= 16
+                          THEN 'cur' ELSE 'base' END AS grp
+              FROM events WHERE value IS NOT NULL
+            ), qa AS (
+              SELECT grp,
+                     quantile_cont(value,
+                                   [0.10, 0.25, 0.50, 0.75, 0.90]) AS eqs
+              FROM ev GROUP BY grp
+            ), q AS (
+              SELECT 'quantile' AS metric, grp,
+                     CAST([0.10, 0.25, 0.50, 0.75, 0.90][i] AS DOUBLE)
+                       AS probe,
+                     ROUND(eqs[i], 6) AS exact_value,
+                     TRUE AS digest_ok
+              FROM qa CROSS JOIN generate_series(1, 5) AS t(i)
+            ), d AS (
+              SELECT value AS x,
+                     CASE WHEN grp = 'cur' THEN 1 ELSE 0 END AS in_a
+              FROM ev
+            ), g AS (
+              SELECT x, SUM(in_a) AS a, SUM(1 - in_a) AS b
+              FROM d GROUP BY x
+            ), tot AS (
+              SELECT SUM(a) AS na, SUM(b) AS nb FROM g
+            ), cum AS (
+              SELECT SUM(a) OVER (ORDER BY x) AS ca,
+                     SUM(b) OVER (ORDER BY x) AS cb
+              FROM g
+            ), k AS (
+              SELECT 'ks' AS metric, 'base|cur' AS grp,
+                     CAST(NULL AS DOUBLE) AS probe,
+                     ROUND(MAX(ABS(ca / GREATEST(na, 1)
+                                   - cb / GREATEST(nb, 1))), 6)
+                       AS exact_value,
+                     TRUE AS digest_ok
+              FROM cum, tot
+            )
+            SELECT * FROM q UNION ALL SELECT * FROM k
+            ORDER BY metric, grp, probe
         """,
         "a3_membership_filter": r"""
             SELECT event_id, event_type, user_id FROM events

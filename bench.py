@@ -33,14 +33,14 @@ from events_validator_spark.sources.synthetic import (
     CATALOG_SIZE_RATIO, DOC_RULES, interleaved_docs, media_catalog,
 )
 
-BENCH_QUERIES = [
-    "validate_events", "q1_pricing_summary", "q3_top_revenue",
-    "a6_failures_per_day", "a7_daily_error_rate", "u1_duplicate_custkeys",
-    "r1_orphan_refs", "s1_lineitem_stats", "s2_quantiles_by_flag",
-    "s4_exact_quantiles",
-    "d1_dedup_exact", "m1_minhash_pairs", "t2_text_quality", "t3_lang_scores",
-    "ann1_topk", "drift1_psi", "drift2_ks",
-]
+# every queries() entry gets a wall-time record (VERDICT r4 #1: 27 of the 44
+# had none, so a regression there was invisible). BENCH_QUERIES env var
+# (comma-separated) subsets for quick local iteration.
+def bench_query_names() -> list[str]:
+    env = os.environ.get("BENCH_QUERIES")
+    if env:
+        return [q.strip() for q in env.split(",") if q.strip()]
+    return list(entrymod.queries())
 
 
 def full_constraint_suite(spark, n_docs: int, cores: int) -> dict:
@@ -106,7 +106,7 @@ def main() -> None:
     #            amortized, so regressions in either half are attributable.
     qs = entrymod.queries()
     timings, fresh_timings = {}, {}
-    for name in BENCH_QUERIES:
+    for name in bench_query_names():
         t0 = time.monotonic()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -350,3 +350,55 @@ def drift_violations(psi_df: DataFrame, column: str,
                     F.lit("drift").alias("error_type"),
                     F.lit(f"psi<={threshold}").alias("expected"),
                     F.col("psi").cast("string").alias("actual")))
+
+
+def tdigest_exactness_audit(df: DataFrame, column: str, group_col: str,
+                            probes: tuple[float, ...] = (0.1, 0.25, 0.5,
+                                                         0.75, 0.9),
+                            delta: int = 200, n_salts: int = 64,
+                            rel_tol: float = 0.03) -> DataFrame:
+    """Per-group audit of the t-digest sketch against EXACT quantiles:
+    (metric='quantile', grp, probe, exact_value, digest_ok).
+
+    The sketch is approximate by design, so its raw output can never be
+    hash-compared cross-engine — but its CONTRACT can (VERDICT r4 #2):
+    ``exact_value`` is the exact per-group quantile (bit-reproducible by
+    DuckDB's ``quantile_cont`` — the same convention the s2/s4 oracles pin),
+    and ``digest_ok`` asserts the digest quantile lies within
+    ``rel_tol`` of it, scaled by the group's p10–p90 spread. A digest-math
+    regression flips the boolean and fails the value-hash compare, while
+    legitimate merge-order wobble (well inside t-digest's delta=200 error
+    bound, ~0.5% rank error at mid-quantiles vs the 3% default band) never
+    does.
+
+    Cost: the digest side is the two-level :func:`grouped_digests` path; the
+    exact side is one grouped ``percentile`` — fine for audit-sized group
+    counts (this is a diagnostic you run on a sample or a few cohorts, not
+    a per-batch production aggregate; the production path stays
+    sketch-only).
+    """
+    grouped = df.withColumn("__grp", F.col(group_col).cast("string"))
+    dqt = (quantile_profile(grouped, column, "__grp",
+                            qs=tuple(float(p) for p in probes),
+                            delta=delta, n_salts=n_salts)
+           .select("grp", F.posexplode("quantiles").alias("pos", "dq")))
+
+    pcts = F.percentile(column, F.lit([float(p) for p in probes]))
+    exact = (grouped.groupBy(F.col("__grp").alias("grp"))
+             .agg(pcts.alias("eqs"),
+                  F.percentile(column, F.lit(0.9)).alias("p90"),
+                  F.percentile(column, F.lit(0.1)).alias("p10"))
+             .select("grp", "p90", "p10",
+                     F.posexplode("eqs").alias("pos", "eq")))
+
+    probe_arr = F.array(*[F.lit(float(p)) for p in probes])
+    tol = F.greatest(F.lit(1e-6),
+                     F.lit(rel_tol) * (F.col("p90") - F.col("p10")))
+    # both sides are G·|probes| rows — AQE broadcasts the join
+    return (exact.join(dqt, ["grp", "pos"])
+            .select(F.lit("quantile").alias("metric"),
+                    "grp",
+                    F.element_at(probe_arr, F.col("pos") + 1).alias("probe"),
+                    F.round("eq", 6).alias("exact_value"),
+                    (F.abs(F.col("dq") - F.col("eq")) <= tol)
+                    .alias("digest_ok")))

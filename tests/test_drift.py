@@ -172,3 +172,25 @@ def test_categorical_psi_matches_numpy(spark):
         "cat string, cur boolean")
     assert categorical_psi(new, "cat", F.col("cur")) \
         .collect()[0]["psi"] > 1.0
+
+
+def test_tdigest_exactness_audit(spark):
+    """The audit's exact column matches a direct percentile computation, all
+    digest_ok booleans hold at delta=200, and an absurdly tight band flips
+    them — the mechanism the drift3 driver oracle relies on."""
+    import pyspark.sql.functions as F
+    from events_validator_spark.operators.drift import tdigest_exactness_audit
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    g = ev.withColumn("half",
+                      F.when(F.dayofmonth("ts") >= 16, "cur").otherwise("base"))
+    rows = tdigest_exactness_audit(g, "value", "half").collect()
+    assert len(rows) == 10  # 2 groups x 5 probes
+    assert all(r["digest_ok"] for r in rows)
+    med = [r for r in rows if r["grp"] == "base" and r["probe"] == 0.5][0]
+    want = g.where(F.col("half") == "base") \
+        .agg(F.round(F.percentile("value", F.lit(0.5)), 6).alias("m")) \
+        .collect()[0]["m"]
+    assert med["exact_value"] == want
+    # a zero-width band must flip booleans (the digest is approximate)
+    tight = tdigest_exactness_audit(g, "value", "half", rel_tol=1e-12).collect()
+    assert any(not r["digest_ok"] for r in tight)
