@@ -441,6 +441,30 @@ def q_ann4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_ann5_ivf_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same planted-duplicate construction as ann4, answered by the
+    fully-JVM-side large-query-table twin (`ivf_topk_distributed`): probe
+    cells come from broadcast-centroid array math instead of a driver-side
+    collect, so the query side could itself be a billion-row table. The
+    planted-recall argument is unchanged (same codebook, same probe-first
+    cell), so the same brute-force oracle applies; operator equivalence to
+    ivf_topk is additionally pinned by tests/test_operators.py."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    planted = (emb.where(F.col("vec_id") < 5)
+               .select(F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"),
+                       "vec_id", "embedding")
+               .select((F.lit(2_000_000) + F.col("vec_id") * 10
+                        + F.col("j")).cast("long").alias("vec_id"),
+                       "embedding"))
+    aug = emb.unionByName(planted)
+    out = similarity.ivf_topk_distributed(aug, queries, k=5, n_cells=8,
+                                          n_probe=5)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q_m1_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE SCOPE (ADVICE r2): the DuckDB oracle is brute-force-exact over
     all Jaccard>=0.8 pairs, while this path is banded MinHash LSH
@@ -676,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_rolling_hash": q_t6_rolling_hash,
         "ann3_cosine_neardup": q_ann3_cosine_neardup,
         "ann4_ivf_topk": q_ann4_ivf_topk,
+        "ann5_ivf_distributed": q_ann5_ivf_distributed,
     }
 
 
@@ -1348,7 +1373,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
         """,
-        # drift3 (t-digest sketch — approximate by design, math pinned vs
-        # numpy by tests/test_drift.py) — no SQL oracle; driver records
-        # rows-only; semantics pinned by tests/.
+        # ann5: identical planted construction and planted-recall argument,
+        # so the ann4 brute-force oracle applies verbatim
+        "ann5_ivf_distributed": r"""
+            WITH aug AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+              FROM embeddings
+              UNION ALL
+              SELECT CAST(2000000 + vec_id * 10 + j AS BIGINT),
+                     CAST(embedding AS DOUBLE[])
+              FROM embeddings
+              CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS j)
+              WHERE vec_id < 5
+            ), q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+              SELECT q.query_id, a.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, a.embedding) AS sim
+              FROM aug a CROSS JOIN q
+              WHERE a.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
     }

@@ -158,6 +158,79 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     F.round("sim", 6).alias("sim")))
 
 
+def ivf_topk_distributed(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                         n_cells: int = 16, n_probe: int = 2,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         query_id_col: str = "query_id", seed: int = 42,
+                         train_fraction: float = 1.0) -> DataFrame:
+    """IVF top-k for a LARGE query table — the JVM-side twin of
+    :func:`ivf_topk` (same codebook, same probe rule, same re-rank; equal
+    output pinned by tests/test_operators.py).
+
+    :func:`ivf_topk` resolves probe cells driver-side because its contract
+    says the query set is tiny; this twin keeps EVERYTHING distributed so
+    the query side can itself be a billion-row table: the centroid set rides
+    along as ONE broadcast array row, each query picks its ``n_probe``
+    nearest cells with per-row array math (``transform`` → ``array_sort`` →
+    ``slice`` — a shuffle-free map, not a window), and the candidate join is
+    the same equi-join on the small-cardinality cell id. No collect, no
+    driver loop, no shuffle anywhere on the query side before the cell join.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    if train_fraction < 1.0:
+        feat = feat.sample(train_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feat)
+
+    assigned = model.transform(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cvec"),
+                      array_to_vector(F.col(vec_col)).alias("features"))
+    ).select("neighbor_id", "__cvec", F.col("prediction").alias("cell"))
+
+    spark = corpus.sparkSession
+    # ONE row carrying every centroid — broadcast adds a constant-size
+    # column to each query row instead of multiplying the query table
+    centers = spark.createDataFrame(
+        [([(i, [float(x) for x in c])
+           for i, c in enumerate(model.clusterCenters())],)],
+        "__centers array<struct<cell:int,center:array<double>>>")
+
+    def _d2(center: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(F.col("__qvec"), center,
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    # per-row: distance to every centroid, sort, keep n_probe — struct
+    # ordering is (d2, cell), so ties break on cell id deterministically
+    ranked = F.slice(
+        F.array_sort(F.transform(
+            F.col("__centers"),
+            lambda c: F.struct(_d2(c["center"]).alias("d2"),
+                               c["cell"].alias("cell")))),
+        1, n_probe)
+    probes = (queries.select(F.col(query_id_col).alias("query_id"),
+                             F.col(vec_col).alias("__qvec"))
+              .crossJoin(F.broadcast(centers))
+              .select("query_id", "__qvec",
+                      F.explode(ranked).alias("__p"))
+              .select("query_id", "__qvec", F.col("__p.cell").alias("cell")))
+
+    sim = cosine(F.col("__qvec"), F.col("__cvec")).alias("sim")
+    scored = (assigned.join(probes, "cell")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id", sim))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("sim", 6).alias("sim")))
+
+
 def hyperplane_signatures_udf(dim: int, n_planes: int, n_tables: int,
                               seed: int = 42):
     """Vectorized multi-table signatures: one Arrow-batched matmul produces
