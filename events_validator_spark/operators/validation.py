@@ -1024,11 +1024,14 @@ def validate_multi(df: DataFrame, rules_by_name: dict[str, dict],
     """Dynamic multi-schema dispatch (SURVEY.md §2.3 J1).
 
     The reference resolves ``<event_name>.json`` per request
-    (validator_src/index.js:45); here every per-type rule set compiles once and
-    the row's type selects its expression via a ``F.when`` chain — one pass,
-    no join, no shuffle. An unknown type yields NULL violations and status
-    'schema_not_found' (the reference's HTTP 404, index.js:47-50); otherwise
-    status is 'validation_failed' / 'valid' (index.js:54-75).
+    (validator_src/index.js:45); here every DISTINCT (key, rule) check
+    compiles once, is staged as one projected column, and the row's type
+    selects its checks via an integer-id dispatch chain over those columns
+    (:func:`_staged_check_chain`) — one pass, no join, no shuffle, and the
+    JVM analyzes each shared subtree once instead of once per event type.
+    An unknown type yields NULL violations and status 'schema_not_found'
+    (the reference's HTTP 404, index.js:47-50); otherwise status is
+    'validation_failed' / 'valid' (index.js:54-75).
 
     ``prebind`` (JSON path): stage the per-field variant extraction in an
     explicit projection (:class:`PreboundVariantAccessor`) so each of the
