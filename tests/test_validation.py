@@ -271,3 +271,20 @@ def test_textual_compiler_matches_column_compiler(spark, monkeypatch):
     assert ax.count() > 3000          # the corpus actually violates
     assert ax.exceptAll(bx).count() == 0
     assert bx.exceptAll(ax).count() == 0
+
+
+def test_chain_memo_never_serves_stale_rules(spark):
+    """The corpus-level plan memo (_CHAIN_CACHE) must key on rule CONTENT:
+    an edited rule set builds a fresh dispatch, and flipping back to the
+    original corpus (a memo hit) still yields the original semantics."""
+    from events_validator_spark.operators.validation import validate_multi
+    df = spark.createDataFrame([("ev", '{"k": 1}')],
+                               "event_name string, props string")
+    rules_num = {"ev": {"k": {"type": "number"}}}
+    rules_str = {"ev": {"k": {"type": "string"}}}
+    def status(rules):
+        return validate_multi(df, rules, "event_name",
+                              json_col="props").collect()[0]["status"]
+    assert status(rules_num) == "valid"
+    assert status(rules_str) == "validation_failed"   # edit seen, not stale
+    assert status(rules_num) == "valid"               # memo hit, not stale
