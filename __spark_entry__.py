@@ -629,8 +629,17 @@ def q_drift3_tdigest_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     grouped = ev.withColumn(
         "half", F.when(F.dayofmonth("ts") >= 16, "cur").otherwise("base"))
-    qaudit = drift.tdigest_exactness_audit(grouped, "value", "half")
-    dks = drift.ks_from_digests(grouped, "value", "half") \
+    # build the per-cohort digest table ONCE and hand it to both consumers:
+    # each tdigest UDAF call is a distinct Python UDF object, so two
+    # structurally-identical builds would not collapse via exchange reuse —
+    # the lazy localCheckpoint materializes the tiny (grp, digest) table a
+    # single time for the whole query
+    digests = drift.grouped_digests(
+        grouped.withColumn("__grp", F.col("half").cast("string")),
+        "value", "__grp", delta=200).localCheckpoint(eager=False)
+    qaudit = drift.tdigest_exactness_audit(grouped, "value", "half",
+                                           digests=digests)
+    dks = drift.ks_from_digests(grouped, "value", "half", digests=digests) \
         .select(F.col("ks").alias("dks"))
     eks = drift.ks_two_sample(ev, "value", F.dayofmonth("ts") >= 16) \
         .select(F.col("ks").alias("eks"))

@@ -105,12 +105,20 @@ def grouped_digests(df: DataFrame, column: str, group_col: str,
 
 def quantile_profile(df: DataFrame, column: str, group_col: str,
                      qs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
-                     delta: int = 100, n_salts: int = 64) -> DataFrame:
+                     delta: int = 100, n_salts: int = 64,
+                     digests: DataFrame | None = None) -> DataFrame:
     """(grp, quantiles array) per group via the two-level t-digest path
     (:func:`grouped_digests`): salted partial digests, then an associative
     merge — executor memory is bounded by group_size/n_salts, not group size.
+
+    Pass ``digests`` (a (grp, digest) table) to reuse an already-built
+    digest set: each ``tdigest_udaf()`` call creates a distinct Python UDF
+    object, so two structurally-identical digest builds in one query do NOT
+    collapse via exchange reuse — sharing the table explicitly is the only
+    way to pay the scan+build once.
     """
-    digests = grouped_digests(df, column, group_col, delta, n_salts)
+    if digests is None:
+        digests = grouped_digests(df, column, group_col, delta, n_salts)
 
     @pandas_udf("array<double>")
     def read_q(blobs: pd.Series) -> pd.Series:
@@ -247,7 +255,8 @@ def ks_two_sample(df: DataFrame, column: str, cohort: F.Column,
 
 def ks_from_digests(df: DataFrame, column: str, group_col: str,
                     n_points: int = 200, delta: int = 200,
-                    max_groups: int = 256) -> DataFrame:
+                    max_groups: int = 256,
+                    digests: DataFrame | None = None) -> DataFrame:
     """Approximate pairwise KS between all groups from t-digest profiles.
 
     One scan builds a digest per group (two-level salted aggregation,
@@ -262,10 +271,14 @@ def ks_from_digests(df: DataFrame, column: str, group_col: str,
     :func:`ks_from_digests_distributed` — identical results, pair space
     spread across the cluster. The guard fails fast with a clear message
     (naming the distributed twin) instead of letting one task grind through
-    millions of pairs."""
-    digests = grouped_digests(
-        df.withColumn("__grp", F.col(group_col).cast("string")),
-        column, "__grp", delta=delta)
+    millions of pairs.
+
+    ``digests``: reuse an already-built (grp, digest) table — see
+    :func:`quantile_profile` for why explicit sharing is required."""
+    if digests is None:
+        digests = grouped_digests(
+            df.withColumn("__grp", F.col(group_col).cast("string")),
+            column, "__grp", delta=delta)
 
     def compare(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) > max_groups:
@@ -356,7 +369,8 @@ def tdigest_exactness_audit(df: DataFrame, column: str, group_col: str,
                             probes: tuple[float, ...] = (0.1, 0.25, 0.5,
                                                          0.75, 0.9),
                             delta: int = 200, n_salts: int = 64,
-                            rel_tol: float = 0.03) -> DataFrame:
+                            rel_tol: float = 0.03,
+                            digests: DataFrame | None = None) -> DataFrame:
     """Per-group audit of the t-digest sketch against EXACT quantiles:
     (metric='quantile', grp, probe, exact_value, digest_ok).
 
@@ -380,7 +394,7 @@ def tdigest_exactness_audit(df: DataFrame, column: str, group_col: str,
     grouped = df.withColumn("__grp", F.col(group_col).cast("string"))
     dqt = (quantile_profile(grouped, column, "__grp",
                             qs=tuple(float(p) for p in probes),
-                            delta=delta, n_salts=n_salts)
+                            delta=delta, n_salts=n_salts, digests=digests)
            .select("grp", F.posexplode("quantiles").alias("pos", "dq")))
 
     pcts = F.percentile(column, F.lit([float(p) for p in probes]))
