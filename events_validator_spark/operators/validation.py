@@ -695,15 +695,20 @@ def _top_key_check(key: str, rule: dict, accessor: Accessor,
         is_str = key in accessor._string_keys
         if session_tag is None:
             session_tag = _session_tag()
-        gk = (session_tag, textual_names[key], is_str) + ck
-        col = _TOP_CHECK_CACHE.get(gk)
+        # session_tag None means we cannot prove which JVM we are on
+        # (getActiveSession is thread-local) — caching would risk serving a
+        # Column whose JavaObject belongs to a stopped JVM, so skip it
+        gk = ((session_tag, textual_names[key], is_str) + ck
+              if session_tag is not None else None)
+        col = _TOP_CHECK_CACHE.get(gk) if gk is not None else None
         if col is None:
             try:
                 col = F.expr(top_key_expr_sql(
                     textual_names[key], key, rule, is_str))
-                if len(_TOP_CHECK_CACHE) >= _TOP_CHECK_CACHE_MAX:
-                    _TOP_CHECK_CACHE.clear()
-                _TOP_CHECK_CACHE[gk] = col
+                if gk is not None:
+                    if len(_TOP_CHECK_CACHE) >= _TOP_CHECK_CACHE_MAX:
+                        _TOP_CHECK_CACHE.clear()
+                    _TOP_CHECK_CACHE[gk] = col
             except TextualFallback:
                 col = None
     if col is None:
@@ -951,7 +956,8 @@ def _staged_check_chain(staged: DataFrame, accessor: Accessor,
     tag = _session_tag()
     memo_key = None
     names_map = getattr(accessor, "_names", None)
-    if names_map:
+    # tag None ⇒ unknown JVM (thread-local getActiveSession) — never cache
+    if names_map and tag is not None:
         memo_key = (tag, name_col,
                     tuple(sorted(names_map.items())),
                     tuple(sorted(accessor._string_keys)),
