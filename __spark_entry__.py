@@ -5,7 +5,7 @@
 each callable takes (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/types; aggregates made engine-deterministic via decimal
-arithmetic and explicit rounding): all 44 queries carry an oracle,
+arithmetic and explicit rounding): all 45 queries carry an oracle,
 including the flagship typed path validate_docs (deterministic in-query
 span construction with hash-bucketed anomaly injection — DuckDB states the
 expected violation rows directly), the LSH paths m1 (brute-force shingle
@@ -1097,10 +1097,13 @@ def oracle_sql() -> dict[str, str]:
                      SUM(b) OVER (ORDER BY x) AS cb
               FROM g
             ), k AS (
+              -- ROUND(ROUND(x,8),6) mirrors the Spark side exactly:
+              -- ks_two_sample rounds to 8 before the query rounds to 6,
+              -- and a single ROUND(x,6) can differ at half-boundary values
               SELECT 'ks' AS metric, 'base|cur' AS grp,
                      CAST(NULL AS DOUBLE) AS probe,
-                     ROUND(MAX(ABS(ca / GREATEST(na, 1)
-                                   - cb / GREATEST(nb, 1))), 6)
+                     ROUND(ROUND(MAX(ABS(ca / GREATEST(na, 1)
+                                         - cb / GREATEST(nb, 1))), 8), 6)
                        AS exact_value,
                      TRUE AS digest_ok
               FROM cum, tot

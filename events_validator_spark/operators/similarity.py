@@ -144,8 +144,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             probe_rows.append((r["query_id"], list(map(float, r["__qvec"])),
                                int(cell)))
     spark = corpus.sparkSession
+    # schema mirrors the INPUT types: a hardcoded array<float> silently
+    # truncated array<double> query vectors, so sims could differ in
+    # low-order bits from the distributed twin (round-5 review)
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    vec_t = queries.schema[vec_col].dataType.simpleString()
     probes = spark.createDataFrame(
-        probe_rows, f"query_id long, __qvec array<float>, cell int")
+        probe_rows, f"query_id {qid_t}, __qvec {vec_t}, cell int")
 
     sim = cosine(F.col("__qvec"), F.col("__cvec")).alias("sim")
     scored = (assigned.join(F.broadcast(probes), "cell")
@@ -175,6 +180,13 @@ def ivf_topk_distributed(corpus: DataFrame, queries: DataFrame, k: int = 5,
     ``slice`` — a shuffle-free map, not a window), and the candidate join is
     the same equi-join on the small-cardinality cell id. No collect, no
     driver loop, no shuffle anywhere on the query side before the cell join.
+
+    Equality caveat: the twins compute centroid distances differently
+    (numpy pairwise summation driver-side vs a sequential fold JVM-side),
+    so two centroids whose distances to a query agree to within float
+    rounding can be probed in different order — with n_probe covering both,
+    output is identical (the pinned case); at exact ties on a pathological
+    codebook the probe SETS can differ by that tied cell.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector

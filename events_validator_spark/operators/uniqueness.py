@@ -25,10 +25,15 @@ def _task_salt(n_salts: int) -> Column:
     ``monotonically_increasing_id``/``rand``, whose values depend on
     within-partition row order (nondeterministic after an upstream shuffle)
     and can duplicate or drop rows on a stage retry (SPARK-23207 class;
-    ADVICE r4). A hot key's rows live in many input partitions at scale, so
-    the per-partition salt still spreads them over up to ``n_salts``
-    reducers, and the projection references NO payload columns — column
+    ADVICE r4). The projection references NO payload columns — column
     pruning reaches the scan.
+
+    CAVEAT: on input CLUSTERED by the key (e.g. parquet sorted by it), a
+    hot key occupies few partitions and gets few distinct salts. That is
+    fine for algebraic aggregates (count/sum partially aggregate map-side,
+    so a reducer receives at most one row per (key, map-task) regardless of
+    the salt), but NOT for :func:`salted_collect` — which therefore salts
+    on row CONTENT instead (see its docstring).
     """
     return F.pmod(F.spark_partition_id(), F.lit(n_salts)).alias("__salt")
 
@@ -66,7 +71,7 @@ def duplicate_rows(df: DataFrame, keys: list[str],
 
 
 def salted_collect(df: DataFrame, keys: list[str], payload_col: str,
-                   n_salts: int = 32) -> DataFrame:
+                   n_salts: int = 32, seed: int = 7) -> DataFrame:
     """Skew-safe ``groupBy(keys).collect_list(payload)``.
 
     collect_list has no map-side combine: with a hot key, ONE reducer
@@ -74,12 +79,26 @@ def salted_collect(df: DataFrame, keys: list[str], payload_col: str,
     all rows to ``doc_hot``). Phase 1 collects per (key, salt) — the hot key
     spreads over ``n_salts`` reducers — phase 2 flattens the per-salt pieces,
     shuffling pre-compacted arrays instead of raw rows.
+
+    The salt hashes ROW CONTENT (keys + payload — the payload is being
+    collected, so it is read either way): deterministic under stage retry
+    AND independent of physical layout, so a hot key still spreads over
+    ``n_salts`` reducers even on input parquet CLUSTERED by the key, where
+    a partition-id salt would collapse to one value (the grouped_digests
+    pattern; only fully-identical duplicate rows share a salt, the same
+    documented trade).
     """
-    # deterministic task-local salt (_task_salt): spreads a hot key's rows
-    # without hashing the (possibly large) payload columns and stays
-    # retry-safe; the collected MULTISET is salt-invariant, and collect_list
-    # order was never deterministic to begin with
-    salt = _task_salt(n_salts)
+    from pyspark.sql import types as T
+    ptype = df.schema[payload_col].dataType
+    if isinstance(ptype, (T.MapType, T.VariantType)):
+        # xxhash64 cannot hash map/variant — fall back to key-hash plus the
+        # task-local component (layout-independent only up to partitioning)
+        h = (F.xxhash64(*[F.col(k) for k in keys], F.lit(seed))
+             + F.spark_partition_id())
+    else:
+        h = F.xxhash64(*[F.col(k) for k in keys], F.col(payload_col),
+                       F.lit(seed))
+    salt = F.pmod(h, F.lit(n_salts)).alias("__salt")
     phase1 = (df.select(*keys, F.col(payload_col), salt)
               .groupBy(*keys, "__salt")
               .agg(F.collect_list(payload_col).alias("__part")))

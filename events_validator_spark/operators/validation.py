@@ -638,8 +638,13 @@ def compile_violations(rules: dict, accessor: Accessor,
 
 
 def _check_key(key: str, rule: dict) -> tuple[str, str]:
-    """Canonical memo key for a top-level (key, rule-spec) check subtree."""
-    return (key, json.dumps(rule, sort_keys=True, default=str))
+    """Canonical memo key for a top-level (key, rule-spec) check subtree —
+    the SAME canonicalization as the textual layer's cache, by construction
+    (one function; divergence would silently split the caches)."""
+    from events_validator_spark.operators.validation_sql import (
+        rule_cache_key,
+    )
+    return rule_cache_key(key, rule)
 
 
 # session-scoped memo of textual per-key check Columns. The SQL text is a
@@ -920,7 +925,10 @@ def validate_json(df: DataFrame, rules: dict, json_col: str,
 
 def _staged_check_chain(staged: DataFrame, accessor: Accessor,
                         rules_by_name: dict[str, dict],
-                        name_col: str) -> tuple[DataFrame, Column]:
+                        name_col: str,
+                        skip_rows: Column | None = None,
+                        skip_sig: str | None = None) -> tuple[DataFrame,
+                                                              Column]:
     """Stage each DISTINCT (key, rule) check subtree as ONE projected column
     and dispatch event types over references to those columns.
 
@@ -935,7 +943,10 @@ def _staged_check_chain(staged: DataFrame, accessor: Accessor,
     Runtime shape is unchanged: each ``__chk_i`` is gated on an integer
     type-id InSet (one ``__ti`` compare chain per row, then O(1) set probes),
     so a row still evaluates exactly the checks its own event type declares
-    — rows of other types see the gate fail and pay only the probe. The
+    — rows of other types, UNKNOWN types (``__ti = -1``), and rows matching
+    ``skip_rows`` (the staged malformed-JSON flag, whose dispatch branch
+    never reads the checks) see the gate fail and pay only the probe —
+    matching the old when-chain's lazy evaluation scope exactly. The
     optimizer keeps the staging Project because the shared columns are
     referenced by many dispatch branches (CollapseProject refuses to
     duplicate non-trivial expressions); a check used by a single type may
@@ -958,7 +969,7 @@ def _staged_check_chain(staged: DataFrame, accessor: Accessor,
     names_map = getattr(accessor, "_names", None)
     # tag None ⇒ unknown JVM (thread-local getActiveSession) — never cache
     if names_map and tag is not None:
-        memo_key = (tag, name_col,
+        memo_key = (tag, name_col, skip_sig,
                     tuple(sorted(names_map.items())),
                     tuple(sorted(accessor._string_keys)),
                     tuple((t, json.dumps(r, sort_keys=True, default=str))
@@ -1001,11 +1012,13 @@ def _staged_check_chain(staged: DataFrame, accessor: Accessor,
     empty = _empty()
     proj = []
     for ent in reg.values():
-        col = ent["col"]
-        if len(ent["tids"]) < n_types:
-            col = F.when(F.col("__ti").isin(ent["tids"]), col) \
-                .otherwise(empty)
-        proj.append(col.alias(ent["name"]))
+        gate = (F.col("__ti").isin(ent["tids"])
+                if len(ent["tids"]) < n_types
+                else F.col("__ti") != F.lit(-1))
+        if skip_rows is not None:
+            gate = gate & ~skip_rows
+        proj.append(F.when(gate, ent["col"]).otherwise(empty)
+                    .alias(ent["name"]))
     staged2 = staged.withColumn("__ti", ti).select("*", *proj)
 
     expr = None
@@ -1085,8 +1098,9 @@ def validate_multi(df: DataFrame, rules_by_name: dict[str, dict],
             # checks) get the exact Number::toString pre-projected too
             keys, skeys = _prebind_key_sets(list(rules_by_name.values()))
             staged, acc2, bad = prebind_fields(df, json_col, keys, skeys)
-            staged2, dispatch = _staged_check_chain(staged, acc2,
-                                                    rules_by_name, name_col)
+            staged2, dispatch = _staged_check_chain(
+                staged, acc2, rules_by_name, name_col,
+                skip_rows=bad, skip_sig="bad")
             out = staged2.withColumn(
                 out_col,
                 F.when(known & bad, invalid).otherwise(dispatch)

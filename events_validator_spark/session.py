@@ -32,13 +32,17 @@ def apply_recommended_conf(spark: SparkSession) -> None:
         if _INFER_FILTERS_RULE not in rules:
             rules.append(_INFER_FILTERS_RULE)
         spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
-        # the textual twins (validation_sql.py, dedup twins) generate SQL
-        # text whose backslash escaping assumes the default parser mode; a
-        # session that flipped escapedStringLiterals=true would silently
-        # change every backslash-bearing literal's meaning (ADVICE r4)
-        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
     except Exception:
         pass  # a locked-down session keeps its own settings
+    # the textual twins (validation_sql.py, dedup twins) generate SQL text
+    # whose backslash escaping assumes the default parser mode; a session
+    # that flipped escapedStringLiterals=true would silently change every
+    # backslash-bearing literal's meaning (ADVICE r4). Own try block: a
+    # failure in the excludedRules merge above must not skip this pin.
+    try:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+    except Exception:
+        pass
 
 
 def get_spark(app_name: str = "events-validator-spark",
