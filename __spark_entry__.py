@@ -479,6 +479,24 @@ def q_m1_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                num_hashes=32, bands=8).orderBy("id_a", "id_b")
 
 
+def q_m4_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup — the growing-corpus production shape:
+    documents with doc_id % 10 == 0 play the NEW batch, the rest the
+    already-ingested corpus whose band index is stored. Output = verified
+    pairs touching the batch only (corpus-internal pairs were reported in
+    their own ticks). Same oracle-scope caveat as m1: DuckDB brute-forces
+    exact Jaccard over the batch-touching pair space; equality holds here
+    because the planted dups sit far above the banding knee."""
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
+    is_new = F.col("doc_id") % 10 == 0
+    new = docs.where(is_new)
+    corpus = docs.where(~is_new)
+    index = dedup.minhash_bands(corpus, num_hashes=32, bands=8)
+    pairs, _ = dedup.minhash_dedup_incremental(
+        new, index, corpus, threshold=0.8, num_hashes=32, bands=8)
+    return pairs.orderBy("id_a", "id_b")
+
+
 def q_m2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5-token-hash SimHash (60-bit) so DuckDB reproduces the signature
     bit-for-bit; pigeonhole recall is EXACT for hamming ≤ n_tables-1, so the
@@ -692,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift1_psi": q_drift1_psi,
         "drift2_ks": q_drift2_ks,
         "m1_minhash_pairs": q_m1_minhash_pairs,
+        "m4_incremental_dedup": q_m4_incremental_dedup,
         "m2_simhash_pairs": q_m2_simhash_pairs,
         "m3_dedup_components": q_m3_dedup_components,
         "ann2_lsh_topk": q_ann2_lsh_topk,
@@ -1217,6 +1236,29 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
                   / len(list_distinct(a.sh || b.sh)) >= 0.8
+        """,
+        # m4: m1's brute-force exact-Jaccard oracle restricted to pairs
+        # touching the simulated new batch (doc_id % 10 == 0)
+        "m4_incremental_dedup": r"""
+            WITH sh AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [array_to_string(toks, ' ')] END) AS sh
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\s+')
+                             AS toks
+                    FROM documents)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+              AND len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(a.sh || b.sh)) >= 0.8
+            ORDER BY id_a, id_b
         """,
         "ann3_cosine_neardup": r"""
             WITH aug AS (

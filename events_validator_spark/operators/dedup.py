@@ -180,16 +180,16 @@ def minhash_signature(col: Column, num_hashes: int = 64, k: int = 3) -> Column:
     ]))
 
 
-def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
-                           id_col: str = "doc_id", num_hashes: int = 64,
-                           bands: int = 16, k: int = 3,
-                           bucket_cap: int = 64) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
+def minhash_bands(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", num_hashes: int = 64,
+                  bands: int = 16, k: int = 3) -> DataFrame:
+    """(id, band, bh) LSH band-key table — the storable near-dup INDEX.
 
-    rows-per-band r = num_hashes/bands sets the similarity knee at
-    (1/bands)^(1/r). Buckets larger than ``bucket_cap`` are truncated after an
-    id sort (deterministic) — they indicate degenerate content and would
-    otherwise emit O(cap²) pairs per bucket.
+    One row per (document, band); ``bh`` hashes the band's minhash rows.
+    Batch dedup consumes it directly (:func:`minhash_lsh_candidates`);
+    incremental dedup PERSISTS it (e.g. a Lakehouse append per ingested
+    batch) so the next batch joins against stored keys instead of
+    re-signaturing the corpus (:func:`minhash_dedup_incremental`).
     """
     r = num_hashes // bands
     if _SAFE_NAME.match(text_col):
@@ -203,9 +203,23 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                                   for j in range(r)]).alias("bh"))
             for b in range(bands)
         ]))
-    banded = (df.select(F.col(id_col).alias("id"),
-                        F.explode(band_structs).alias("b"))
-              .select("id", "b.band", "b.bh"))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(band_structs).alias("b"))
+            .select("id", "b.band", "b.bh"))
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 64,
+                           bands: int = 16, k: int = 3,
+                           bucket_cap: int = 64) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
+
+    rows-per-band r = num_hashes/bands sets the similarity knee at
+    (1/bands)^(1/r). Buckets larger than ``bucket_cap`` are truncated after an
+    id sort (deterministic) — they indicate degenerate content and would
+    otherwise emit O(cap²) pairs per bucket.
+    """
+    banded = minhash_bands(df, text_col, id_col, num_hashes, bands, k)
     buckets = capped_buckets(banded, ["band", "bh"], F.col("id"), bucket_cap)
     return (buckets.select(F.explode(pairs_expr(F.col("items"))).alias("p"))
             .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
@@ -246,6 +260,74 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
     scored = jaccard_pairs(df, cand, text_col, id_col,
                            k=lsh_kwargs.get("k", 3))
     return scored.where(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup_incremental(new_docs: DataFrame, index: DataFrame,
+                              corpus_docs: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              threshold: float = 0.8,
+                              num_hashes: int = 64, bands: int = 16,
+                              k: int = 3,
+                              bucket_cap: int = 64
+                              ) -> tuple[DataFrame, DataFrame]:
+    """Near-dup pairs for a NEW batch against a growing corpus — the
+    production shape of crawl dedup: the corpus only ever grows, so each
+    ingested batch is compared to the STORED band index
+    (:func:`minhash_bands`, appended per batch) instead of re-signaturing
+    and re-pairing the whole corpus.
+
+    Inputs: ``new_docs`` (id, text) — the batch; ``index`` — the persisted
+    (id, band, bh) table for everything ingested so far; ``corpus_docs`` —
+    the persisted documents table (id, text), read only to verify
+    candidates (the join is pair-keyed, so only matched ids' texts are
+    fetched).
+
+    Returns ``(verified_pairs, new_bands)``: pairs (id_a, id_b, jaccard ≥
+    threshold) where AT LEAST ONE side is in the new batch (new-vs-corpus
+    and new-vs-new; corpus-internal pairs were reported when their batches
+    arrived — re-reporting them every batch would be O(corpus) per tick),
+    and the batch's band rows for the caller to append to the index.
+
+    Scale shape: the index is touched ONLY via an equi-join against the
+    batch's distinct (band, bh) keys — a semi-join-sized probe, not an
+    index scan-and-group; bucket capping then bounds pair fan-out exactly
+    as in the batch path. Per-tick cost is O(batch × bucket overlap),
+    independent of corpus size. Deterministic: signatures are pure content
+    hashes and capped buckets truncate after an id sort.
+    """
+    new_bands = minhash_bands(new_docs, text_col, id_col,
+                              num_hashes, bands, k)
+    # touch only index buckets the batch hits (equi-join on the small
+    # distinct key set — AQE broadcasts it when it fits)
+    new_keys = new_bands.select("band", "bh").distinct()
+    relevant = index.join(new_keys, ["band", "bh"])
+    union_rel = relevant.unionByName(new_bands)
+    buckets = capped_buckets(union_rel, ["band", "bh"], F.col("id"),
+                             bucket_cap)
+    pairs = (buckets.select(F.explode(pairs_expr(F.col("items"))).alias("p"))
+             .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+             .distinct())
+    # keep only pairs touching the batch: a relevant bucket can also pair
+    # two corpus docs, which were already reported in their own ticks
+    new_ids = new_docs.select(F.col(id_col).alias("id")).distinct()
+    touching = (pairs.join(new_ids.withColumnRenamed("id", "id_a"),
+                           "id_a", "left_semi")
+                .unionByName(
+                    pairs.join(new_ids.withColumnRenamed("id", "id_b"),
+                               "id_b", "left_semi"))
+                .distinct())
+    # verification reads ONLY candidate ids' texts: without this semi-join
+    # jaccard_pairs would shingle the whole corpus each tick (its id-keyed
+    # join prunes rows only after the shingle projection)
+    cand_ids = (touching.select(F.col("id_a").alias(id_col))
+                .unionByName(touching.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    texts = (corpus_docs.select(F.col(id_col), F.col(text_col))
+             .unionByName(new_docs.select(F.col(id_col), F.col(text_col)))
+             .join(cand_ids, id_col, "left_semi"))
+    scored = jaccard_pairs(texts, touching, text_col, id_col, k=k)
+    return scored.where(F.col("jaccard") >= threshold), new_bands
 
 
 # ---------------------------------------------------------------------------

@@ -547,3 +547,39 @@ def test_ivf_topk_query_guard(spark):
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="max_queries"):
         similarity.ivf_topk(emb, queries, k=3, n_cells=4, max_queries=10)
+
+
+def test_minhash_dedup_incremental(spark):
+    """Incremental dedup finds new-vs-corpus and new-vs-new pairs, never
+    re-reports corpus-internal pairs, and returns the batch's band rows for
+    the index append."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy")
+    corpus_dup = "corpus doc about spark shuffles and joins at scale " * 5
+    corpus = spark.createDataFrame(
+        [(1, base), (2, corpus_dup),
+         (3, "another corpus doc with entirely different words " * 5),
+         (4, corpus_dup)],
+        ["doc_id", "text"])
+    index = dedup.minhash_bands(corpus)
+    fresh_dup = "fresh unique content nothing like the others here " * 5
+    new = spark.createDataFrame(
+        [(10, near), (11, fresh_dup), (12, fresh_dup)],
+        ["doc_id", "text"])
+    pairs, new_bands = dedup.minhash_dedup_incremental(
+        new, index, corpus, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 10) in got       # new-vs-corpus near-dup
+    assert (11, 12) in got      # duplicate inside the batch
+    assert (2, 4) not in got    # corpus-internal: reported in ITS tick, not now
+    assert new_bands.count() == 3 * 16   # 3 docs x default 16 bands
+    # two-tick equivalence: appending the returned bands makes tick 2 see
+    # tick 1's batch as corpus
+    corpus2 = corpus.unionByName(new)
+    index2 = index.unionByName(new_bands)
+    new2 = spark.createDataFrame([(20, fresh_dup)], ["doc_id", "text"])
+    pairs2, _ = dedup.minhash_dedup_incremental(
+        new2, index2, corpus2, threshold=0.5)
+    got2 = {(r["id_a"], r["id_b"]) for r in pairs2.collect()}
+    assert (11, 20) in got2 and (12, 20) in got2
+    assert (11, 12) not in got2  # tick-1 pair not re-reported
