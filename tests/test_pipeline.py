@@ -507,3 +507,38 @@ def test_build_corpus_end_to_end(spark, tmp_path):
                             splits=[0.5, 0.5])
     sets = [{r["doc_id"] for r in p.collect()} for p in parts]
     assert len(sets[0] | sets[1]) == len(sets[0]) + len(sets[1])
+
+
+def test_stream_dedup_cross_batch(spark, tmp_path):
+    """Streaming dedup detects a near-duplicate ACROSS micro-batches via the
+    persisted band index, maintains the index per tick, and never re-reports
+    a pair on later ticks."""
+    from events_validator_spark.sources.catalog import Lakehouse
+    from events_validator_spark.streaming.stream import run_stream_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy")
+    src = str(tmp_path / "src")
+    schema = "doc_id bigint, text string"
+    # two appends -> two part files; maxFilesPerTrigger=1 makes each its
+    # own micro-batch (oldest file first)
+    spark.createDataFrame(
+        [(1, base), (2, "totally unrelated content about joins " * 5)],
+        schema).coalesce(1).write.mode("append").parquet(src)
+    import time as _t
+    _t.sleep(1.1)  # distinct mtimes pin the batch order
+    spark.createDataFrame([(10, near)], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    lh = Lakehouse(spark, str(tmp_path / "lake"))
+    out = run_stream_dedup(
+        spark, src, schema, lh,
+        checkpoint_dir=str(tmp_path / "ckpt"), threshold=0.5)
+    assert out["batches"] == 2
+    pairs = {(r["id_a"], r["id_b"])
+             for r in lh.read("dedup_pairs").collect()}
+    assert (1, 10) in pairs
+    # index holds bands for all three docs
+    assert lh.read("dedup_index").select("id").distinct().count() == 3
+    # docs table carries the full corpus
+    assert lh.read("docs").count() == 3
