@@ -5,7 +5,7 @@
 each callable takes (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
 (same column names/types; aggregates made engine-deterministic via decimal
-arithmetic and explicit rounding): all 45 queries carry an oracle,
+arithmetic and explicit rounding): all 46 queries carry an oracle,
 including the flagship typed path validate_docs (deterministic in-query
 span construction with hash-bucketed anomaly injection — DuckDB states the
 expected violation rows directly), the LSH paths m1 (brute-force shingle
