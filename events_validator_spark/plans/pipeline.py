@@ -240,12 +240,16 @@ def read_outputs(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFram
     return violations, verdicts
 
 
-def _committed_snapshot_for(lakehouse, table: str, cursor: str) -> str | None:
-    """Snapshot id of the commit stamped with ``source_cursor == cursor``,
+def _committed_snapshot_for(lakehouse, table: str, cursor: str,
+                            meta_key: str = "source_cursor") -> str | None:
+    """Snapshot id of the commit stamped with ``meta[meta_key] == cursor``,
     scanning the FULL snapshot log (newest first — the crash-rerun case is
-    almost always the last commit). None if no commit carries the stamp."""
+    almost always the last commit). None if no commit carries the stamp.
+    Shared by the batch pipeline (``source_cursor``) and the streaming
+    dedup loop (``stream_batch``) — ONE implementation of the
+    crash-recovery probe."""
     for snap in reversed(lakehouse.snapshots(table)):
-        if (snap.get("meta") or {}).get("source_cursor") == cursor:
+        if (snap.get("meta") or {}).get(meta_key) == cursor:
             return snap["snapshot_id"]
     return None
 

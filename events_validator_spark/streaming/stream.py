@@ -226,14 +226,22 @@ def run_stream_dedup(spark: SparkSession, source_dir: str, schema,
          pairs to the lakehouse — three commits stamped with the batch id.
 
     Exactly-once across retries: ``foreachBatch`` can replay a batch after
-    a failure, so each append is preceded by a snapshot-log probe for the
-    batch-id stamp (the same full-log scan as the batch pipeline's
-    idempotence probe) — a replayed batch re-appends nothing.
+    a failure, so each append is preceded by the SAME snapshot-log probe
+    the batch pipeline uses (``plans.pipeline._committed_snapshot_for``,
+    keyed ``stream_batch``) — a replayed batch re-appends nothing — and,
+    crucially, corpus reads STOP BEFORE any snapshot this batch already
+    committed: a replay after a partial commit (docs+index appended, crash
+    before pairs) would otherwise read its own docs back as "corpus" and
+    emit self-pairs / duplicated pairs. Single writer per output table
+    assumed (same contract as run_incremental).
 
-    Returns {"batches", "pairs"} after draining available input (a real
-    deployment leaves the query running against Kafka/Iceberg).
+    Returns {"batches", "pairs"} counting work actually COMMITTED (a
+    fully-committed replay increments nothing), after draining available
+    input (a real deployment leaves the query running against
+    Kafka/Iceberg).
     """
     from events_validator_spark.operators import dedup as dd
+    from events_validator_spark.plans.pipeline import _committed_snapshot_for
 
     # one file per trigger: each ingested file is its own batch/tick, so
     # the cross-batch path is exercised (and in production each tick is
@@ -243,16 +251,26 @@ def run_stream_dedup(spark: SparkSession, source_dir: str, schema,
     seen = {"batches": 0, "pairs": 0}
 
     def committed(table: str, key: str) -> bool:
-        return any((s.get("meta") or {}).get("stream_batch") == key
-                   for s in lakehouse.snapshots(table))
+        return _committed_snapshot_for(lakehouse, table, key,
+                                       meta_key="stream_batch") is not None
+
+    def read_before(table: str, key: str) -> DataFrame | None:
+        """Table state as of the last snapshot NOT committed by this batch
+        (single-writer ⇒ this batch's stamp can only be the newest)."""
+        snaps = [s for s in lakehouse.snapshots(table)
+                 if (s.get("meta") or {}).get("stream_batch") != key]
+        if not snaps:
+            return None
+        return lakehouse.read(table, as_of=snaps[-1]["snapshot_id"])
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         key = str(batch_id)
+        if committed(pairs_table, key):   # fully-committed replay: no-op
+            return
         batch = batch_df.persist()
-        if lakehouse.snapshots(index_table):
-            index = lakehouse.read(index_table)
-            corpus = lakehouse.read(docs_table)
-        else:  # first batch: empty corpus with the right schemas
+        corpus = read_before(docs_table, key)
+        index = read_before(index_table, key)
+        if corpus is None or index is None:  # first batch: empty corpus
             corpus = batch.limit(0)
             index = dd.minhash_bands(corpus, text_col, id_col,
                                      **{k: v for k, v in lsh_kwargs.items()
@@ -260,15 +278,20 @@ def run_stream_dedup(spark: SparkSession, source_dir: str, schema,
         pairs, new_bands = dd.minhash_dedup_incremental(
             batch, index, corpus, text_col=text_col, id_col=id_col,
             threshold=threshold, **lsh_kwargs)
+        # persist both outputs: the pairs plan embeds the band build twice
+        # and the count below would otherwise re-run the whole LSH probe
+        pairs = pairs.persist()
+        new_bands = new_bands.persist()
         stamp = {"stream_batch": key}
         if not committed(docs_table, key):
             lakehouse.append(docs_table, batch, meta=stamp)
         if not committed(index_table, key):
             lakehouse.append(index_table, new_bands, meta=stamp)
-        if not committed(pairs_table, key):
-            lakehouse.append(pairs_table, pairs, meta=stamp)
+        lakehouse.append(pairs_table, pairs, meta=stamp)
         seen["batches"] += 1
         seen["pairs"] += pairs.count()
+        pairs.unpersist()
+        new_bands.unpersist()
         batch.unpersist()
 
     writer = src.writeStream.foreachBatch(write_batch)

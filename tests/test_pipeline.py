@@ -542,3 +542,49 @@ def test_stream_dedup_cross_batch(spark, tmp_path):
     assert lh.read("dedup_index").select("id").distinct().count() == 3
     # docs table carries the full corpus
     assert lh.read("docs").count() == 3
+
+
+def test_stream_dedup_replay_after_partial_commit(spark, tmp_path):
+    """Crash between the index append and the pairs append, then replay with
+    the same checkpoint: the replayed batch must NOT read its own partial
+    commits back as corpus (self-pairs / duplicated rows), must not
+    re-append docs or index, and must commit the pairs exactly once."""
+    import pytest
+    from events_validator_spark.sources.catalog import Lakehouse
+    from events_validator_spark.streaming.stream import run_stream_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy")
+    src = str(tmp_path / "src")
+    schema = "doc_id bigint, text string"
+    spark.createDataFrame([(1, base), (2, near)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    lh = Lakehouse(spark, str(tmp_path / "lake"))
+    orig_append = lh.append
+    armed = {"on": True}
+
+    def flaky_append(table, df, meta=None):
+        if table == "dedup_pairs" and armed["on"]:
+            armed["on"] = False
+            raise RuntimeError("injected crash before the pairs commit")
+        return orig_append(table, df, meta)
+
+    lh.append = flaky_append
+    with pytest.raises(Exception):
+        run_stream_dedup(spark, src, schema, lh,
+                         checkpoint_dir=ckpt, threshold=0.5)
+    # partial state: docs + index committed, pairs missing
+    assert lh.read("docs").count() == 2
+    assert not lh.snapshots("dedup_pairs")
+
+    out = run_stream_dedup(spark, src, schema, lh,
+                           checkpoint_dir=ckpt, threshold=0.5)
+    pairs = lh.read("dedup_pairs").collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert len(pairs) == 1                       # no duplicated rows
+    assert all(r["id_a"] != r["id_b"] for r in pairs)  # no self-pairs
+    assert lh.read("docs").count() == 2          # docs not re-appended
+    assert lh.read("dedup_index").select("id").distinct().count() == 2
+    assert out == {"batches": 1, "pairs": 1}
