@@ -309,19 +309,31 @@ def minhash_dedup_incremental(new_docs: DataFrame, index: DataFrame,
              .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
              .distinct())
     # keep only pairs touching the batch: a relevant bucket can also pair
-    # two corpus docs, which were already reported in their own ticks
+    # two corpus docs, which were already reported in their own ticks.
+    # ONE LINEAR CHAIN over `pairs` — a union of two semi-joins would
+    # reference (and therefore re-expand and re-execute) the whole
+    # bands→buckets→pairs subtree per arm; plan-audited, the union shape
+    # re-scanned the documents table 46× per run
     new_ids = new_docs.select(F.col(id_col).alias("id")).distinct()
-    touching = (pairs.join(new_ids.withColumnRenamed("id", "id_a"),
-                           "id_a", "left_semi")
-                .unionByName(
-                    pairs.join(new_ids.withColumnRenamed("id", "id_b"),
-                               "id_b", "left_semi"))
-                .distinct())
+    na = new_ids.select(F.col("id").alias("id_a"),
+                        F.lit(True).alias("__a_new"))
+    nb = new_ids.select(F.col("id").alias("id_b"),
+                        F.lit(True).alias("__b_new"))
+    # lazy localCheckpoint: the candidate-pair table is tiny but feeds the
+    # id-prune AND the verify join — pinning it makes the whole
+    # bands→buckets→pairs chain execute exactly once per tick (stats.py
+    # precedent; the usual localCheckpoint lineage trade)
+    touching = (pairs.join(na, "id_a", "left").join(nb, "id_b", "left")
+                .where(F.col("__a_new").isNotNull()
+                       | F.col("__b_new").isNotNull())
+                .select("id_a", "id_b")
+                .localCheckpoint(eager=False))
     # verification reads ONLY candidate ids' texts: without this semi-join
     # jaccard_pairs would shingle the whole corpus each tick (its id-keyed
-    # join prunes rows only after the shingle projection)
-    cand_ids = (touching.select(F.col("id_a").alias(id_col))
-                .unionByName(touching.select(F.col("id_b").alias(id_col)))
+    # join prunes rows only after the shingle projection). explode keeps
+    # `touching` referenced once — a two-column union would double it
+    cand_ids = (touching
+                .select(F.explode(F.array("id_a", "id_b")).alias(id_col))
                 .distinct())
     texts = (corpus_docs.select(F.col(id_col), F.col(text_col))
              .unionByName(new_docs.select(F.col(id_col), F.col(text_col)))
