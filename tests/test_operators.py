@@ -583,3 +583,41 @@ def test_minhash_dedup_incremental(spark):
     got2 = {(r["id_a"], r["id_b"]) for r in pairs2.collect()}
     assert (11, 20) in got2 and (12, 20) in got2
     assert (11, 12) not in got2  # tick-1 pair not re-reported
+
+
+def test_incremental_dedup_matches_batch_restriction(spark):
+    """EXACT equivalence: incremental dedup over (corpus, batch) equals the
+    batch operator over corpus ∪ batch restricted to pairs touching the
+    batch — same signatures, same buckets, same caps, same verification,
+    so the result sets must be identical, not merely similar."""
+    import random
+    rng = random.Random(5)
+    words = [f"w{i}" for i in range(300)]
+
+    def doc():
+        return " ".join(rng.choice(words) for _ in range(60))
+
+    rows = [(i, doc()) for i in range(20)]
+    # planted near-dups: 2 inside corpus, 2 across the corpus/batch line,
+    # 1 inside the batch
+    rows[5] = (5, rows[4][1].replace(rows[4][1].split()[10], "EDIT"))
+    new_rows = [(100 + i, doc()) for i in range(8)]
+    new_rows[0] = (100, rows[7][1])                      # exact cross dup
+    new_rows[1] = (101, rows[8][1].replace(
+        rows[8][1].split()[5], "CHANGED"))               # near cross dup
+    new_rows[4] = (104, new_rows[5][1])                  # in-batch dup
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+
+    batch_all = dedup.minhash_dedup(corpus.unionByName(new), threshold=0.6)
+    new_ids = {r[0] for r in new_rows}
+    expected = {(r["id_a"], r["id_b"], r["jaccard"])
+                for r in batch_all.collect()
+                if r["id_a"] in new_ids or r["id_b"] in new_ids}
+
+    inc, _ = dedup.minhash_dedup_incremental(
+        new, dedup.minhash_bands(corpus), corpus, threshold=0.6)
+    got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in inc.collect()}
+    assert got == expected
+    assert (100 in {a for a, b, j in got} or
+            100 in {b for a, b, j in got})  # the planted cross dup is there
