@@ -150,6 +150,9 @@ def q_a6_failures_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_a7_daily_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # measured r6: _par here LOSES — the distinct-agg map side compresses
+    # well in one task, and the extra round-robin shuffle costs more than
+    # the parallel Expand saves (A/B 1.24s plain vs 2.12s par at sf1.0)
     ev = _t(spark, sf_dir, "events")
     out = analytics.daily_error_rate(ev, "ts", "user_id",
                                      F.col("event_type") == "error")
@@ -158,6 +161,9 @@ def q_a7_daily_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_u1_duplicate_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # measured r6: _par here LOSES — with 64 input partitions the salt takes
+    # up to 32 values per key, so phase-1 stops compressing (1.4M partial
+    # rows vs 100k) and the shuffle grows 14x (A/B 1.21s vs 3.23s at sf1.0)
     orders = _t(spark, sf_dir, "orders")
     return (uniqueness.duplicate_keys(orders, ["o_custkey"], n_salts=32)
             .orderBy("o_custkey"))
@@ -210,6 +216,8 @@ def q_s4_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # measured r6: _par LOSES — the codegen md5 projection is cheaper than
+    # shuffling the text column (A/B 0.88s plain vs 1.51s par at sf1.0)
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup_groups(docs).orderBy("fp")
 
@@ -220,13 +228,18 @@ def q_t1_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_t2_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # r6: translate() over regexp_replace in text.quality_features (~3x per
+    # pass) + _par for the single-row-group scan (A/B min-of-8: 0.40s par
+    # vs 1.80s plain at sf1.0; no-op on splittable input)
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return text.quality_features(docs).select(
         "doc_id", "n_tokens", "alpha_ratio", "digit_ratio", "punct_ratio")
 
 
 def q_t3_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # 4 marker-set filters over the token array run interpreted (HOFs are
+    # CodegenFallback) — parallelize the single-row-group scan
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return text.lang_scores(docs).select(
         "doc_id", "score_en", "score_es", "score_fr", "score_de", "lang_pred")
 
@@ -242,7 +255,9 @@ def q_t7_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep AND drop rows both verified. drop_reasons is emitted as a sorted
     comma-joined scalar (VERDICT r3: the driver's hash canonicalizer cannot
     sort an array<string> column — pandas factorize dies on lists)."""
-    docs = _t(spark, sf_dir, "documents")
+    # r6: _par + the translate() rewrite in quality_features (A/B min-of-8:
+    # 0.41s par vs 1.84s plain at sf1.0; no-op on splittable input)
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return (text.quality_filter(docs, min_tokens=40)
             .select("doc_id", "keep",
                     F.array_join(F.array_sort("drop_reasons"), ",")
@@ -286,13 +301,17 @@ def q_dc1_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteed self-contamination plus organic trigram collisions across
     the small synthetic vocabulary, so the oracle discriminates all three
     of: exact members, partial overlaps, clean docs)."""
-    docs = _t(spark, sf_dir, "documents")
+    # shingle construction (HOF, interpreted) over every corpus doc — _par
+    # spreads the single-row-group scan (no-op on splittable input)
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     bench = docs.where(F.col("doc_id") < 20)
     return dedup.ngram_decontaminate(docs, bench, min_overlap=2)
 
 
 def q_ann1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    # per-corpus-row cosine against every query (zip_with+aggregate,
+    # interpreted) — parallelize the single-row-group scan
+    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
     queries = (emb.where(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     out = similarity.brute_force_topk(emb, queries, k=5)
@@ -315,6 +334,9 @@ def q_drift4_categorical_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_drift2_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # measured r6: _par LOSES — the value column is high-cardinality, so the
+    # tie pre-aggregation barely compresses and the extra round-robin
+    # shuffle dominates (A/B 0.95s plain vs 2.75s par at sf1.0)
     ev = _t(spark, sf_dir, "events")
     return drift.ks_two_sample(ev, "value", F.dayofmonth("ts") >= 16)
 
@@ -326,6 +348,7 @@ def q_a3_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_t5_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # measured r6: _par a wash here (0.65s either way) — not worth the shuffle
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.size(text.bpe_ish_tokens(F.col("text"))).alias("n_bpe"))
@@ -388,7 +411,8 @@ def q_set1_inactive_small_customers(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def q_t6_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # per-character fold (HOF, interpreted) — parallelize the scan
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return text.rolling_hash_fingerprint(docs).select("doc_id", "rh")
 
 
@@ -411,7 +435,9 @@ def q_ann3_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = (emb.where(F.col("vec_id") < 50)
                .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
                        "embedding"))
-    aug = emb.unionByName(planted)
+    # signature UDF + band explode run on the scan partitioning — one task
+    # on the single-row-group file without _par (no-op on splittable input)
+    aug = _par(spark, emb.unionByName(planted))
     return similarity.cosine_neardup_pairs(aug, threshold=0.9, dim=64,
                                            n_planes=8, n_tables=8)
 
@@ -572,7 +598,9 @@ def q_mm2_span_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     the construction and the md5 bit-for-bit — equality of the signature
     column IS span-sequence equality on (kind, text, media_ref, order)."""
     from events_validator_spark.operators import multimodal
-    docs = _t(spark, sf_dir, "documents")
+    # span construction does an md5 per media token (HOF, interpreted) —
+    # parallelize the single-row-group scan (no-op on splittable input)
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     toks = text.tokens(F.col("text"))
     is_text = lambda i: F.pmod(i, F.lit(2)) == 0
     spans = F.transform(toks, lambda t, i: F.struct(
@@ -608,7 +636,10 @@ def q_v2_validate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench.py and tests/."""
     from events_validator_spark.operators.validation import validate_typed
     from events_validator_spark.sources.synthetic import DOC_RULES
-    docs = _t(spark, sf_dir, "documents")
+    # span construction (md5 per token, HOF) + the typed validator both run
+    # on the scan partitioning — one task on the single-row-group testdata
+    # file without _par (no-op on splittable input, see _par docstring)
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     toks = text.tokens(F.col("text"))
     b = F.pmod(F.conv(F.substring(F.md5(F.col("text")), 1, 2), 16, 10)
                .cast("int"), F.lit(16))
@@ -650,6 +681,9 @@ def q_drift3_tdigest_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     band. A digest-math regression flips a boolean → value-hash mismatch →
     the driver catches it; benign merge-order wobble (≈0.5% rank error at
     delta=200, vs the 3%-of-spread / 0.05-KS bands) never does."""
+    # measured r6: _par LOSES here (A/B min-of-8: 1.40s plain vs 4.33s par
+    # at sf1.0) — the high-cardinality exact-KS tie pre-aggregation doesn't
+    # compress and every consumer pays the extra round-robin exchange
     ev = _t(spark, sf_dir, "events")
     grouped = ev.withColumn(
         "half", F.when(F.dayofmonth("ts") >= 16, "cur").otherwise("base"))
