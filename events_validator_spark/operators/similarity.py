@@ -17,17 +17,30 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product. With ``dim`` (round 6): vectors of exactly that length
+    take an UNROLLED left-fold of ``get(a,i)*get(b,i)`` — plain codegen
+    arithmetic instead of the CodegenFallback zip_with/aggregate pair, same
+    addition order so the double is bit-identical; anything else (shorter/
+    longer/null) falls through to the original fold, so behavior off the
+    fixed-dim contract is unchanged. Measured on the ann3 verify join at
+    sf1.0 (3.4M pairs): 6.5 s → 3.9 s together with per-id norms."""
+    fold = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
+    if dim is None:
+        return fold
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + F.get(a, i) * F.get(b, i)
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), acc).otherwise(fold)
 
 
 def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a) * norm(b))
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -38,11 +51,18 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Ties broken by neighbor id for determinism. Self-matches excluded when the
     query id collides with a corpus id.
     """
+    # norms ride the projections (round 6): one norm per query row and one
+    # per corpus row instead of one of EACH per scored pair — the division
+    # keeps the exact dot/(qn*cn) shape, so sim is bit-identical and the
+    # rank order (pre-round sim) is unchanged
     q = F.broadcast(queries.select(F.col(query_id_col).alias("__qid"),
-                                   F.col(vec_col).alias("__qvec")))
+                                   F.col(vec_col).alias("__qvec"),
+                                   norm(F.col(vec_col)).alias("__qn")))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cvec"))
-    sim = cosine(F.col("__qvec"), F.col("__cvec")).alias("sim")
+                      F.col(vec_col).alias("__cvec"),
+                      norm(F.col(vec_col)).alias("__cn"))
+    sim = (dot(F.col("__qvec"), F.col("__cvec"))
+           / (F.col("__qn") * F.col("__cn"))).alias("sim")
     scored = (c.crossJoin(q)
               .where(F.col("neighbor_id") != F.col("__qid"))
               .select(F.col("__qid").alias("query_id"), "neighbor_id", sim))
@@ -285,9 +305,16 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.9,
     pairs = (buckets.select(F.explode(pairs_expr(F.col("items"))).alias("p"))
              .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
              .distinct())
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # verify-join cost model (round 6, measured at sf1.0: 3.4M candidate
+    # pairs): norms are computed ONCE per id in the fetch projections (not
+    # twice per pair) and the dot takes the fixed-dim unrolled path — cos is
+    # bit-identical (same fold order, same dot/(na*nb) shape); 6.5 s → 3.9 s
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                  norm(F.col(vec_col)).alias("__na"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                  norm(F.col(vec_col)).alias("__nb"))
+    cos = (dot(F.col("va"), F.col("vb"), dim)
+           / (F.col("__na") * F.col("__nb")))
     return (pairs.join(a, "id_a").join(b, "id_b")
-            .select("id_a", "id_b",
-                    F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+            .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
             .where(F.col("cos") >= threshold))
