@@ -92,8 +92,13 @@ def salted_collect(df: DataFrame, keys: list[str], payload_col: str,
     ptype = df.schema[payload_col].dataType
     if isinstance(ptype, (T.MapType, T.VariantType)):
         # xxhash64 cannot hash map/variant — fall back to key-hash plus the
-        # task-local component (layout-independent only up to partitioning)
-        h = (F.xxhash64(*[F.col(k) for k in keys], F.lit(seed))
+        # task-local component (layout-independent only up to partitioning).
+        # pmod BEFORE adding the partition id (ADVICE r5): xxhash64 can
+        # return values near Long.MAX_VALUE, and under ANSI mode (Spark 4
+        # default) the raw `hash + pid` add would then throw at runtime —
+        # ~n_partitions/2^64 per row, but free to close at 10^12-row scale
+        h = (F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.lit(seed)),
+                    F.lit(n_salts))
              + F.spark_partition_id())
     else:
         h = F.xxhash64(*[F.col(k) for k in keys], F.col(payload_col),

@@ -520,21 +520,26 @@ def test_stream_dedup_cross_batch(spark, tmp_path):
     near = base.replace("lazy", "sleepy")
     src = str(tmp_path / "src")
     schema = "doc_id bigint, text string"
-    # two appends -> two part files; maxFilesPerTrigger=1 makes each its
-    # own micro-batch (oldest file first)
+    # batch order is pinned by DRAINING between appends (ADVICE r5): the
+    # old single-run shape relied on a 1.1 s sleep producing distinct file
+    # mtimes, which flakes on coarse-mtime filesystems — two runs against
+    # the same checkpoint make "batch 2 arrives after batch 1 is ingested"
+    # a structural fact instead of a timing one
     spark.createDataFrame(
         [(1, base), (2, "totally unrelated content about joins " * 5)],
         schema).coalesce(1).write.mode("append").parquet(src)
-    import time as _t
-    _t.sleep(1.1)  # distinct mtimes pin the batch order
-    spark.createDataFrame([(10, near)], schema).coalesce(1) \
-        .write.mode("append").parquet(src)
 
     lh = Lakehouse(spark, str(tmp_path / "lake"))
-    out = run_stream_dedup(
-        spark, src, schema, lh,
-        checkpoint_dir=str(tmp_path / "ckpt"), threshold=0.5)
-    assert out["batches"] == 2
+    ckpt = str(tmp_path / "ckpt")
+    out1 = run_stream_dedup(spark, src, schema, lh,
+                            checkpoint_dir=ckpt, threshold=0.5)
+    assert out1["batches"] == 1
+
+    spark.createDataFrame([(10, near)], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    out2 = run_stream_dedup(spark, src, schema, lh,
+                            checkpoint_dir=ckpt, threshold=0.5)
+    assert out2["batches"] == 1
     pairs = {(r["id_a"], r["id_b"])
              for r in lh.read("dedup_pairs").collect()}
     assert (1, 10) in pairs
