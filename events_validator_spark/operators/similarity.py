@@ -303,13 +303,13 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.9,
     O(near-dup fraction × corpus); AQE broadcasts it when it fits under
     session.py's 64 MB threshold, otherwise shuffles on the id keys.
     """
-    from events_validator_spark.operators.dedup import capped_buckets, pairs_expr
+    from events_validator_spark.operators.dedup import bucket_pairs, capped_buckets
     sig = hyperplane_signatures_udf(dim, n_planes, n_tables, seed)
     s = df.select(F.col(id_col).alias("id"),
                   F.posexplode(sig(F.col(vec_col))).alias("t", "sig"))
     buckets = capped_buckets(s, ["t", "sig"], F.col("id"), bucket_cap)
-    pairs = (buckets.select(F.explode(pairs_expr(F.col("items"))).alias("p"))
-             .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+    pairs = (bucket_pairs(buckets, ["t", "sig"])
+             .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
              .distinct())
     # verify-join cost model (round 6, measured at sf1.0: 3.4M candidate
     # pairs): norms are computed ONCE per id in the fetch projections (not

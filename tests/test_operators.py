@@ -621,3 +621,24 @@ def test_incremental_dedup_matches_batch_restriction(spark):
     assert got == expected
     assert (100 in {a for a, b, j in got} or
             100 in {b for a, b, j in got})  # the planted cross dup is there
+
+
+def test_bucket_pairs_matches_pairs_expr(spark):
+    """The join-form pair generator (round 6) emits exactly the pair set and
+    (a, b) orientation of exploding pairs_expr over the same capped buckets
+    — including duplicate payloads within one bucket and multi-bucket
+    collisions (dedup happens downstream either way)."""
+    rows = [(t, s, i) for t in range(3) for s in range(4)
+            for i in range(t + s + 1)]
+    # a duplicated payload inside one bucket + one singleton bucket
+    rows += [(0, 0, 0), (9, 9, 42)]
+    df = spark.createDataFrame(rows, "t int, s int, id int")
+    buckets = dedup.capped_buckets(df, ["t", "s"], F.col("id"), cap=4)
+    via_join = dedup.bucket_pairs(buckets, ["t", "s"]) \
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    via_expr = (buckets
+                .select(F.explode(dedup.pairs_expr(F.col("items"))).alias("p"))
+                .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")))
+    assert via_join.exceptAll(via_expr).count() == 0
+    assert via_expr.exceptAll(via_join).count() == 0
+    assert via_join.count() == via_expr.count() > 0
