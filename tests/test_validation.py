@@ -288,3 +288,54 @@ def test_chain_memo_never_serves_stale_rules(spark):
     assert status(rules_num) == "valid"
     assert status(rules_str) == "validation_failed"   # edit seen, not stale
     assert status(rules_num) == "valid"               # memo hit, not stale
+
+
+def test_element_ok_gate_matches_ungated(spark, monkeypatch):
+    """The typed-array clean-element gate (round 6) must be a pure
+    short-circuit: gated and ungated compiles emit IDENTICAL violation rows
+    on a corpus covering every anomaly class plus adversarial span shapes
+    (null spans array, empty array, null struct element fields, value/
+    length rules on nested keys)."""
+    from events_validator_spark.operators import validation as V
+    from events_validator_spark.sources.synthetic import (
+        DOC_RULES, interleaved_docs,
+    )
+
+    docs = interleaved_docs(spark, 20_000)
+    # adversarial extras the generator never emits
+    extra = spark.createDataFrame(
+        [("x1", None),
+         ("x2", []),
+         ("x3", [(None, None, None, None)]),
+         ("x4", [("media", None, "media_00bad!!!", 0),
+                 ("text", "", None, None)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    corpus = docs.unionByName(extra)
+
+    rules_extra = {
+        "doc_id": DOC_RULES["doc_id"],
+        "spans": {
+            "type": "array",
+            "nestedSchema": {
+                "kind": {"type": "string", "enum": ["text", "media"]},
+                "text": {"type": "string", "optional": True, "length": 5},
+                "media_ref": {"type": "string", "optional": True,
+                              "regex": "^media_[0-9a-f]{8}$"},
+                "offset": {"type": "number", "value": 0},
+            },
+        },
+    }
+
+    def run(gate, rules):
+        monkeypatch.setattr(V, "_ELEM_OK_GATE", gate)
+        out = V.validate_typed(corpus, rules)
+        return (V.explode_violations(out, ["doc_id"])
+                .orderBy("doc_id", "field", "error_type", "expected",
+                         "actual"))
+
+    for rules in (DOC_RULES, rules_extra):
+        a = run(True, rules).collect()
+        b = run(False, rules).collect()
+        assert a == b
+        assert len(a) > 0
