@@ -89,18 +89,25 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     the exact re-rank.
     """
     sig = hyperplane_signatures_udf(dim, n_planes, n_tables, seed)
+    # norms ride the projections (round 6): one per corpus/query row, not
+    # one of each per candidate; sim keeps the exact dot/(qn*cn) fold so
+    # values and rank order are bit-identical
     c = (corpus.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).alias("__cvec"),
+                       norm(F.col(vec_col)).alias("__cn"),
                        F.posexplode(sig(F.col(vec_col))).alias("__t", "__sig")))
     q = F.broadcast(
         queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("__qvec"),
+                       norm(F.col(vec_col)).alias("__qn"),
                        F.posexplode(sig(F.col(vec_col))).alias("__t", "__sig")))
     cand = (c.join(q, ["__t", "__sig"])
             .where(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "neighbor_id", "__qvec", "__cvec")
+            .select("query_id", "neighbor_id", "__qvec", "__cvec",
+                    "__qn", "__cn")
             .dropDuplicates(["query_id", "neighbor_id"]))
-    sim = cosine(F.col("__qvec"), F.col("__cvec")).alias("sim")
+    sim = (dot(F.col("__qvec"), F.col("__cvec"), dim)
+           / (F.col("__qn") * F.col("__cn"))).alias("sim")
     scored = cand.select("query_id", "neighbor_id", sim)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -143,8 +150,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     assigned = model.transform(
         corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("__cvec"),
+                      norm(F.col(vec_col)).alias("__cn"),
                       array_to_vector(F.col(vec_col)).alias("features"))
-    ).select("neighbor_id", "__cvec", F.col("prediction").alias("cell"))
+    ).select("neighbor_id", "__cvec", "__cn",
+             F.col("prediction").alias("cell"))
 
     # the guard rides the ONE collect this operator already performs
     # (ADVICE r5): a separate limit().count() probe executed the whole
@@ -176,9 +185,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     qid_t = queries.schema[query_id_col].dataType.simpleString()
     vec_t = queries.schema[vec_col].dataType.simpleString()
     probes = spark.createDataFrame(
-        probe_rows, f"query_id {qid_t}, __qvec {vec_t}, cell int")
+        probe_rows, f"query_id {qid_t}, __qvec {vec_t}, cell int") \
+        .withColumn("__qn", norm(F.col("__qvec")))
 
-    sim = cosine(F.col("__qvec"), F.col("__cvec")).alias("sim")
+    sim = (dot(F.col("__qvec"), F.col("__cvec"))
+           / (F.col("__qn") * F.col("__cn"))).alias("sim")
     scored = (assigned.join(F.broadcast(probes), "cell")
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id", sim))
@@ -225,8 +236,10 @@ def ivf_topk_distributed(corpus: DataFrame, queries: DataFrame, k: int = 5,
     assigned = model.transform(
         corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("__cvec"),
+                      norm(F.col(vec_col)).alias("__cn"),
                       array_to_vector(F.col(vec_col)).alias("features"))
-    ).select("neighbor_id", "__cvec", F.col("prediction").alias("cell"))
+    ).select("neighbor_id", "__cvec", "__cn",
+             F.col("prediction").alias("cell"))
 
     spark = corpus.sparkSession
     # ONE row carrying every centroid — broadcast adds a constant-size
@@ -251,13 +264,16 @@ def ivf_topk_distributed(corpus: DataFrame, queries: DataFrame, k: int = 5,
                                c["cell"].alias("cell")))),
         1, n_probe)
     probes = (queries.select(F.col(query_id_col).alias("query_id"),
-                             F.col(vec_col).alias("__qvec"))
+                             F.col(vec_col).alias("__qvec"),
+                             norm(F.col(vec_col)).alias("__qn"))
               .crossJoin(F.broadcast(centers))
-              .select("query_id", "__qvec",
+              .select("query_id", "__qvec", "__qn",
                       F.explode(ranked).alias("__p"))
-              .select("query_id", "__qvec", F.col("__p.cell").alias("cell")))
+              .select("query_id", "__qvec", "__qn",
+                      F.col("__p.cell").alias("cell")))
 
-    sim = cosine(F.col("__qvec"), F.col("__cvec")).alias("sim")
+    sim = (dot(F.col("__qvec"), F.col("__cvec"))
+           / (F.col("__qn") * F.col("__cn"))).alias("sim")
     scored = (assigned.join(probes, "cell")
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id", sim))
