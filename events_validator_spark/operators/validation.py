@@ -522,7 +522,21 @@ def prebind_fields(df: DataFrame, json_col: str, keys: list[str],
     variant, its schema string, and (for ``string_keys``) its JS toString.
     Returns (staged df, accessor, bad-row predicate for malformed JSON)."""
     string_keys = string_keys or set()
-    parsed = F.try_parse_json(F.col(json_col))
+    # stage the PARSE itself as its own column (round 6): the per-key
+    # structs below reference the parsed variant 2-3 times EACH (value,
+    # schema_of_variant, toString) plus the bad-row predicate — and variant
+    # expressions are CodegenFallback, so neither codegen subexpression
+    # elimination nor the interpreter dedups an inlined
+    # try_parse_json(col): validate_events paid ~6 parses per row, the
+    # 36-schema multi corpus ~100+. Referencing the staged NAME makes it
+    # one parse per row; CollapseProject keeps the staging projection
+    # because the alias is referenced many times and is non-trivial (the
+    # same mechanism _staged_check_chain documents). Measured: 1M-event
+    # validate_events steady ~1.9 s → ~1.1 s, identical results (hash
+    # oracle at sf0.01/sf0.1).
+    parsed_name = f"{prefix}_parsed"
+    df = df.withColumn(parsed_name, F.try_parse_json(F.col(json_col)))
+    parsed = F.col(parsed_name)
     # textual fast path (VERDICT r3 #7): build each staged struct — variant,
     # schema, and the BIG exact-toString — as one SQL string parsed by ONE
     # F.expr call, instead of thousands of py4j Column-construction round
@@ -531,11 +545,12 @@ def prebind_fields(df: DataFrame, json_col: str, keys: list[str],
     # instance, × 3 array depths × every value/regex/enum-checked key).
     # Identical expression trees after parsing — results and runtime plans
     # are unchanged (pinned by the test_js_numbers SQL-text differentials
-    # and every staged-path oracle). Keys/columns with characters that
-    # would need nontrivial SQL-literal escaping fall back to the Column
-    # builder, per key.
-    textual_col = re.match(r"^[A-Za-z0-9_.\- ]+$", json_col) is not None
-    parsed_sql = f"try_parse_json(`{json_col}`)"
+    # and every staged-path oracle). Keys with characters that would need
+    # nontrivial SQL-literal escaping fall back to the Column builder, per
+    # key. (The staged parse column name is safe by construction, so the
+    # textual path no longer depends on the json column's own name.)
+    textual_col = True
+    parsed_sql = f"`{parsed_name}`"
     cols = {}
     names = {}
     textual_names: dict[str, str] = {}
@@ -564,7 +579,7 @@ def prebind_fields(df: DataFrame, json_col: str, keys: list[str],
     # projection would cost one extra try_parse_json per row (interpreted
     # subexpression elimination does not reach across projections)
     cols[f"{prefix}_bad"] = F.col(json_col).isNotNull() & parsed.isNull()
-    staged = df.withColumns(cols)
+    staged = df.withColumns(cols).drop(parsed_name)
     acc = PreboundVariantAccessor({k: F.col(n) for k, n in names.items()})
     acc._string_keys = frozenset(string_keys)
     # keys staged textually can ALSO have their whole check subtree built
